@@ -1,0 +1,57 @@
+"""Variational-bound likelihood terms (reference: diffusion/losses.py)."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def normal_kl(mean1, logvar1, mean2, logvar2) -> jax.Array:
+    """KL divergence between two diagonal Gaussians (shapes broadcast)."""
+    return 0.5 * (
+        -1.0
+        + logvar2
+        - logvar1
+        + jnp.exp(logvar1 - logvar2)
+        + ((mean1 - mean2) ** 2) * jnp.exp(-logvar2)
+    )
+
+
+def approx_standard_normal_cdf(x) -> jax.Array:
+    """Fast tanh approximation of the standard normal CDF."""
+    return 0.5 * (
+        1.0 + jnp.tanh(jnp.sqrt(2.0 / jnp.pi) * (x + 0.044715 * jnp.power(x, 3)))
+    )
+
+
+def discretized_gaussian_log_likelihood(x, *, means, log_scales) -> jax.Array:
+    """Log-likelihood of a Gaussian discretized to 1/255 bins on [-1, 1]."""
+    centered_x = x - means
+    inv_stdv = jnp.exp(-log_scales)
+    plus_in = inv_stdv * (centered_x + 1.0 / 255.0)
+    cdf_plus = approx_standard_normal_cdf(plus_in)
+    min_in = inv_stdv * (centered_x - 1.0 / 255.0)
+    cdf_min = approx_standard_normal_cdf(min_in)
+    log_cdf_plus = jnp.log(jnp.clip(cdf_plus, a_min=1e-12))
+    log_one_minus_cdf_min = jnp.log(jnp.clip(1.0 - cdf_min, a_min=1e-12))
+    cdf_delta = cdf_plus - cdf_min
+    log_probs = jnp.where(
+        x < -0.999,
+        log_cdf_plus,
+        jnp.where(
+            x > 0.999,
+            log_one_minus_cdf_min,
+            jnp.log(jnp.clip(cdf_delta, a_min=1e-12)),
+        ),
+    )
+    return log_probs
+
+
+def mean_flat(x: jax.Array) -> jax.Array:
+    """Mean over all non-batch dimensions."""
+    return jnp.mean(x, axis=tuple(range(1, x.ndim)))
+
+
+def sum_flat(x: jax.Array) -> jax.Array:
+    """Sum over all non-batch dimensions."""
+    return jnp.sum(x, axis=tuple(range(1, x.ndim)))

@@ -1,0 +1,326 @@
+"""Diffusion core tests: schedule math, process identities, samplers."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gesturediffusion_tpu.diffusion import (
+    GaussianDiffusion,
+    LossType,
+    ModelMeanType,
+    ModelVarType,
+    create_diffusion,
+)
+from gesturediffusion_tpu.diffusion import sampling, schedules
+from gesturediffusion_tpu.diffusion.resample import (
+    LossSecondMomentState,
+    UniformSampler,
+)
+
+KEY = jax.random.PRNGKey(0)
+SHAPE = (4, 6, 1, 8)  # [B, J, F, T]
+
+
+def small_diffusion(steps=50, **kw):
+    kw.setdefault("noise_schedule", "cosine")
+    kw.setdefault("model_mean_type", ModelMeanType.START_X)
+    return create_diffusion(steps=steps, **kw)
+
+
+class TestSchedules:
+    def test_linear_schedule_endpoints(self):
+        betas = schedules.get_named_beta_schedule("linear", 1000)
+        assert betas[0] == pytest.approx(1e-4)
+        assert betas[-1] == pytest.approx(0.02)
+        assert np.all(betas > 0) and np.all(betas <= 1)
+
+    def test_cosine_schedule_bounded(self):
+        betas = schedules.get_named_beta_schedule("cosine", 1000)
+        assert np.all(betas > 0) and np.all(betas <= 0.999)
+
+    def test_space_timesteps_ddim(self):
+        steps = schedules.space_timesteps(1000, "ddim50")
+        assert len(steps) == 50
+        assert 0 in steps
+
+    def test_space_timesteps_sections(self):
+        steps = schedules.space_timesteps(100, [10])
+        assert len(steps) == 10
+        assert 0 in steps and 99 in steps
+
+    def test_respaced_identity(self):
+        """Respacing onto ALL timesteps must reproduce the base schedule."""
+        betas = schedules.get_named_beta_schedule("cosine", 100)
+        new_betas, tmap = schedules.respaced_betas(betas, set(range(100)))
+        np.testing.assert_allclose(new_betas, betas, rtol=1e-10)
+        np.testing.assert_array_equal(tmap, np.arange(100))
+
+    def test_respaced_alphas_cumprod_match(self):
+        """Kept steps must preserve the original cumulative alphas."""
+        betas = schedules.get_named_beta_schedule("cosine", 100)
+        keep = schedules.space_timesteps(100, [10])
+        new_betas, tmap = schedules.respaced_betas(betas, keep)
+        base_ac = np.cumprod(1 - betas)
+        new_ac = np.cumprod(1 - new_betas)
+        np.testing.assert_allclose(new_ac, base_ac[tmap], rtol=1e-10)
+
+
+class TestProcessMath:
+    def test_q_sample_statistics(self):
+        d = small_diffusion()
+        x0 = jnp.ones(SHAPE) * 2.0
+        t = jnp.full((SHAPE[0],), 25)
+        keys = jax.random.split(KEY, 2000)
+        xs = jax.vmap(
+            lambda k: d.q_sample(x0, t, jax.random.normal(k, SHAPE))
+        )(keys)
+        mean, _, _ = d.q_mean_variance(x0, t)
+        np.testing.assert_allclose(xs.mean(axis=0), mean, atol=0.1)
+        expected_var = float(1 - d.alphas_cumprod[25])
+        np.testing.assert_allclose(
+            xs.var(axis=0), jnp.full(SHAPE, expected_var), atol=0.1
+        )
+
+    def test_eps_xstart_inverse(self):
+        d = small_diffusion()
+        x_t = jax.random.normal(KEY, SHAPE)
+        eps = jax.random.normal(jax.random.PRNGKey(1), SHAPE)
+        t = jnp.asarray([0, 10, 25, 49])
+        x0 = d.predict_xstart_from_eps(x_t, t, eps)
+        eps2 = d.predict_eps_from_xstart(x_t, t, x0)
+        np.testing.assert_allclose(eps, eps2, atol=1e-3)
+
+    def test_posterior_at_t0_returns_xstart(self):
+        d = small_diffusion()
+        x0 = jax.random.normal(KEY, SHAPE)
+        x1 = jax.random.normal(jax.random.PRNGKey(1), SHAPE)
+        t = jnp.zeros((SHAPE[0],), jnp.int32)
+        mean, _, _ = d.q_posterior_mean_variance(x0, x1, t)
+        np.testing.assert_allclose(mean, x0, atol=1e-5)
+
+    def test_masked_l2(self):
+        d = small_diffusion()
+        a = jnp.ones(SHAPE)
+        b = jnp.zeros(SHAPE)
+        mask = jnp.ones((SHAPE[0], 1, 1, SHAPE[3]), bool)
+        mask = mask.at[:, :, :, 4:].set(False)  # half the frames valid
+        out = GaussianDiffusion.masked_l2(a, b, mask)
+        np.testing.assert_allclose(out, jnp.ones(SHAPE[0]), atol=1e-6)
+
+    def test_model_t_respacing_map(self):
+        d = create_diffusion(steps=100, timestep_respacing="ddim10")
+        assert d.num_timesteps == 10
+        ts = d.model_t(jnp.arange(10))
+        # mapped ids must be strictly increasing original timesteps
+        assert bool(jnp.all(ts[1:] > ts[:-1]))
+        assert int(ts[0]) == 0
+
+
+def perfect_model(x_true):
+    """A denoiser that always predicts the true x_start."""
+
+    def model_fn(x, t, cond):
+        return jnp.broadcast_to(x_true, x.shape)
+
+    return model_fn
+
+
+class TestSamplers:
+    def test_ddpm_loop_recovers_xstart_with_perfect_model(self):
+        d = small_diffusion(steps=20)
+        x_true = jax.random.normal(KEY, SHAPE)
+        out = sampling.p_sample_loop(
+            d, perfect_model(x_true), SHAPE, jax.random.PRNGKey(5), cond=None
+        )
+        np.testing.assert_allclose(out, x_true, atol=1e-4)
+
+    def test_ddim_loop_recovers_xstart_with_perfect_model(self):
+        d = small_diffusion(steps=20)
+        x_true = jax.random.normal(KEY, SHAPE)
+        out = sampling.ddim_sample_loop(
+            d, perfect_model(x_true), SHAPE, jax.random.PRNGKey(5), cond=None
+        )
+        np.testing.assert_allclose(out, x_true, atol=1e-4)
+
+    def test_plms_loop_recovers_xstart_with_perfect_model(self):
+        d = small_diffusion(steps=20)
+        x_true = jax.random.normal(KEY, SHAPE)
+        for order in (1, 2, 4):
+            out = sampling.plms_sample_loop(
+                d,
+                perfect_model(x_true),
+                SHAPE,
+                jax.random.PRNGKey(5),
+                cond=None,
+                order=order,
+            )
+            np.testing.assert_allclose(out, x_true, atol=1e-3)
+
+    def test_ddim_eta0_deterministic(self):
+        d = small_diffusion(steps=10)
+        x_true = jax.random.normal(KEY, SHAPE)
+        noise = jax.random.normal(jax.random.PRNGKey(2), SHAPE)
+        a = sampling.ddim_sample_loop(
+            d, perfect_model(x_true), SHAPE, jax.random.PRNGKey(1), None, noise=noise
+        )
+        b = sampling.ddim_sample_loop(
+            d, perfect_model(x_true), SHAPE, jax.random.PRNGKey(99), None, noise=noise
+        )
+        np.testing.assert_allclose(a, b, atol=1e-6)
+
+    def test_inpainting_imputation(self):
+        """Masked regions must be exactly the provided motion in the output."""
+        d = small_diffusion(steps=10)
+        gt = jax.random.normal(KEY, SHAPE)
+        mask = jnp.zeros(SHAPE, bool).at[:, :, :, :4].set(True)
+
+        def noisy_model(x, t, cond):
+            return jnp.zeros_like(x)
+
+        out = sampling.p_sample_loop(
+            d,
+            noisy_model,
+            SHAPE,
+            jax.random.PRNGKey(3),
+            None,
+            inpaint=(mask, gt),
+        )
+        np.testing.assert_allclose(
+            jnp.where(mask, out, 0.0), jnp.where(mask, gt, 0.0), atol=1e-5
+        )
+
+    def test_const_noise_gives_identical_samples(self):
+        d = small_diffusion(steps=10)
+
+        def zero_model(x, t, cond):
+            return jnp.zeros_like(x)
+
+        noise = jnp.broadcast_to(jax.random.normal(KEY, SHAPE[1:]), SHAPE)
+        out = sampling.p_sample_loop(
+            d, zero_model, SHAPE, jax.random.PRNGKey(4), None,
+            noise=noise, const_noise=True,
+        )
+        for b in range(1, SHAPE[0]):
+            np.testing.assert_allclose(out[0], out[b], atol=1e-6)
+
+    def test_skip_timesteps_partial_noising(self):
+        d = small_diffusion(steps=20)
+        init = jax.random.normal(KEY, SHAPE)
+        out = sampling.p_sample_loop(
+            d,
+            perfect_model(init),
+            SHAPE,
+            jax.random.PRNGKey(6),
+            None,
+            skip_timesteps=15,
+            init_image=init,
+        )
+        np.testing.assert_allclose(out, init, atol=1e-4)
+
+    def test_return_intermediates(self):
+        d = small_diffusion(steps=10)
+        x_true = jax.random.normal(KEY, SHAPE)
+        final, inter = sampling.p_sample_loop(
+            d, perfect_model(x_true), SHAPE, jax.random.PRNGKey(7), None,
+            return_intermediates=True,
+        )
+        assert inter.shape == (10,) + SHAPE
+        np.testing.assert_allclose(inter[-1], final, atol=1e-6)
+
+    def test_sampler_loops_jit(self):
+        d = small_diffusion(steps=10)
+        x_true = jax.random.normal(KEY, SHAPE)
+        f = jax.jit(
+            lambda rng: sampling.ddim_sample_loop(
+                d, perfect_model(x_true), SHAPE, rng, None
+            )
+        )
+        np.testing.assert_allclose(f(jax.random.PRNGKey(1)), x_true, atol=1e-4)
+
+
+class TestTrainingLosses:
+    def test_mse_loss_shape_and_value(self):
+        d = small_diffusion(steps=20)
+        x0 = jax.random.normal(KEY, SHAPE)
+        t = jnp.asarray([0, 5, 10, 19])
+        mask = jnp.ones((SHAPE[0], 1, 1, SHAPE[3]), bool)
+        noise = jax.random.normal(jax.random.PRNGKey(1), SHAPE)
+
+        terms = d.training_losses(
+            perfect_model(x0), x0, t, None, mask=mask, noise=noise
+        )
+        assert terms["loss"].shape == (SHAPE[0],)
+        np.testing.assert_allclose(terms["loss"], 0.0, atol=1e-8)
+
+    def test_vel_loss(self):
+        d = small_diffusion(steps=20, lambda_vel=1.0)
+        x0 = jax.random.normal(KEY, SHAPE)
+        t = jnp.asarray([3, 5, 10, 19])
+        mask = jnp.ones((SHAPE[0], 1, 1, SHAPE[3]), bool)
+        noise = jax.random.normal(jax.random.PRNGKey(1), SHAPE)
+
+        def biased_model(x, tt, cond):
+            # constant output -> zero velocity; loss must be positive
+            return jnp.zeros_like(x)
+
+        terms = d.training_losses(biased_model, x0, t, None, mask=mask, noise=noise)
+        assert "vel_mse" in terms
+        assert bool(jnp.all(terms["loss"] > 0))
+
+    def test_geometric_losses_with_fk(self):
+        d = small_diffusion(steps=20, lambda_rcxyz=1.0, lambda_fc=1.0)
+        x0 = jax.random.normal(KEY, (4, 24, 6, 8))  # rot6d per joint
+        t = jnp.asarray([3, 5, 10, 19])
+        mask = jnp.ones((4, 1, 1, 8), bool)
+        noise = jax.random.normal(jax.random.PRNGKey(1), (4, 24, 6, 8))
+
+        def fake_fk(sample):
+            # stand-in FK: just a fixed linear map to [B, 24, 3, T]
+            return sample[:, :, :3, :] * 0.5
+
+        terms = d.training_losses(
+            perfect_model(x0), x0, t, None, mask=mask, noise=noise, fk_fn=fake_fk
+        )
+        assert "rcxyz_mse" in terms and "fc" in terms
+        np.testing.assert_allclose(terms["loss"], 0.0, atol=1e-8)
+
+
+class TestResamplers:
+    def test_uniform_sampler(self):
+        s = UniformSampler(num_timesteps=100)
+        t, w = s.sample(KEY, 512)
+        assert t.shape == (512,) and w.shape == (512,)
+        assert int(t.min()) >= 0 and int(t.max()) < 100
+        np.testing.assert_allclose(w, 1.0)
+
+    def test_loss_aware_starts_uniform(self):
+        s = LossSecondMomentState.create(10)
+        np.testing.assert_allclose(s.weights(), 0.1)
+
+    def test_loss_aware_update_and_warmup(self):
+        s = LossSecondMomentState.create(4, history_per_term=2)
+        ts = jnp.asarray([0, 0, 1, 1, 2, 2, 3, 3])
+        losses = jnp.asarray([1.0, 1.0, 2.0, 2.0, 3.0, 3.0, 4.0, 4.0])
+        s = s.update_with_losses(ts, losses)
+        assert bool(s.warmed_up())
+        w = s.weights()
+        # heavier losses -> larger weights
+        assert float(w[3]) > float(w[0])
+        np.testing.assert_allclose(w.sum(), 1.0, atol=1e-5)
+
+    def test_loss_aware_ring_shift(self):
+        s = LossSecondMomentState.create(2, history_per_term=2)
+        s = s.update_with_losses(jnp.asarray([0, 0, 0]), jnp.asarray([1.0, 2.0, 3.0]))
+        np.testing.assert_allclose(s.history[0], jnp.asarray([2.0, 3.0]))
+        assert int(s.counts[0]) == 2
+
+    def test_loss_aware_inside_jit(self):
+        s = LossSecondMomentState.create(8, history_per_term=2)
+
+        @jax.jit
+        def step(state, ts, losses):
+            return state.update_with_losses(ts, losses)
+
+        s2 = step(s, jnp.asarray([1, 1]), jnp.asarray([0.5, 0.7]))
+        assert int(s2.counts[1]) == 2
