@@ -1,0 +1,99 @@
+"""Headline benchmark: HumanML3D-config sampling throughput per chip.
+
+Measures the north-star metric from BASELINE.json: samples/sec/chip on the
+1000-step DDPM loop with classifier-free guidance, using the
+humanml-encoder-512 model configuration (8 layers, d=512, 263-dim pose,
+196 frames, batch 32, guidance 2.5).  The whole chain runs as one on-device
+lax.scan with the CFG pair batched (2x32 effective batch per step).
+
+vs_baseline: the reference publishes no direct throughput number; the
+anchor is derived from its own wall-clocks (BASELINE.md): the T2M eval —
+~20h for 20 replications over the HumanML3D test split (~4384 prompts,
+batch 32, 1000 DDPM steps, 2 sequential CFG passes) — implies ≈1.2
+samples/sec on the reference's single GPU.  vs_baseline = ours / 1.2.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+REFERENCE_SAMPLES_PER_SEC = 1.2  # derived from README.md:379 wall-clock
+
+
+def main():
+    from gesturediffusion_tpu.diffusion import ModelMeanType, create_diffusion
+    from gesturediffusion_tpu.diffusion.sampling import p_sample_loop
+    from gesturediffusion_tpu.models.cfg import classifier_free_guidance
+    from gesturediffusion_tpu.models.mdm_t2m import MotionMDM
+    from gesturediffusion_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    B, J, T = 32, 263, 196
+    use_bf16 = os.environ.get("GDT_BENCH_DTYPE", "bf16") == "bf16"
+    dtype = jnp.bfloat16 if use_bf16 else jnp.float32
+
+    model = MotionMDM(njoints=J, latent_dim=512, num_layers=8, ff_size=1024,
+                      cond_mode="text", cond_mask_prob=0.1)
+    diffusion = create_diffusion(
+        steps=1000, noise_schedule="cosine",
+        model_mean_type=ModelMeanType.START_X,
+    )
+
+    rs = np.random.RandomState(0)
+    x0 = jnp.asarray(rs.randn(B, J, 1, T), jnp.float32)
+    t0 = jnp.zeros((B,), jnp.int32)
+    cond = {
+        "text_emb": jnp.asarray(rs.randn(B, 512), jnp.float32),
+        "scale": jnp.full((B,), 2.5, jnp.float32),
+    }
+    params = model.init(jax.random.PRNGKey(0), x0, t0,
+                        {"text_emb": cond["text_emb"]})
+    if use_bf16:
+        params = jax.tree_util.tree_map(
+            lambda p: p.astype(jnp.bfloat16), params
+        )
+
+    def base_model_fn(x, t, c):
+        out = model.apply(params, x.astype(dtype), t, c)
+        return out.astype(jnp.float32)
+
+    model_fn = classifier_free_guidance(base_model_fn, cond_mask_prob=0.1)
+
+    @jax.jit
+    def sample(rng):
+        return p_sample_loop(
+            diffusion, model_fn, (B, J, 1, T), rng, cond, clip_denoised=False
+        )
+
+    # compile + warmup
+    out = jax.block_until_ready(sample(jax.random.PRNGKey(0)))
+    assert bool(jnp.all(jnp.isfinite(out))), "non-finite samples"
+
+    n_iters = int(os.environ.get("GDT_BENCH_ITERS", "3"))
+    t_start = time.perf_counter()
+    for i in range(n_iters):
+        out = sample(jax.random.PRNGKey(i + 1))
+    jax.block_until_ready(out)
+    elapsed = time.perf_counter() - t_start
+
+    samples_per_sec = (B * n_iters) / elapsed
+    n_chips = jax.device_count()
+    per_chip = samples_per_sec / n_chips
+    print(json.dumps({
+        "metric": "humanml3d_ddpm1000_cfg_samples_per_sec_per_chip",
+        "value": round(per_chip, 4),
+        "unit": "samples/sec/chip",
+        "vs_baseline": round(per_chip / REFERENCE_SAMPLES_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

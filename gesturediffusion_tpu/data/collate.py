@@ -1,0 +1,77 @@
+"""Fixed-shape batch collation.
+
+Functional parity surface with the reference collate layer
+(reference: data_loaders/tensors.py — lengths_to_mask:3, collate:22,
+gg_collate:56): produces the canonical batch contract
+
+    motion [B, J, 1, T] float32
+    cond = {mask [B,1,1,T] bool, lengths [B] i32,
+            mfcc [B, C, 1, T], audio [B, L], seed [B, J, 1, S],
+            text: list[str] (host-side only — excluded from device cond)}
+
+TPU design: batches are always padded to a static T (max_frames) so every
+jit sees one shape; text stays host-side (CLIP embeds it outside jit).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+
+
+def lengths_to_mask(lengths: np.ndarray, max_len: int) -> np.ndarray:
+    return np.arange(max_len)[None, :] < np.asarray(lengths)[:, None]
+
+
+def collate_gesture(
+    items: Sequence[dict], max_frames: Optional[int] = None
+) -> tuple[np.ndarray, dict]:
+    """Collate gesture dataset items into the canonical batch contract."""
+    b = len(items)
+    t = max_frames or max(it["motion"].shape[0] for it in items)
+    d = items[0]["motion"].shape[1]
+
+    motion = np.zeros((b, d, 1, t), np.float32)
+    lengths = np.zeros((b,), np.int32)
+    for i, it in enumerate(items):
+        m = it["motion"][:t]
+        motion[i, :, 0, : m.shape[0]] = m.T
+        lengths[i] = min(int(it["length"]), t)
+
+    cond: dict = {
+        "mask": lengths_to_mask(lengths, t)[:, None, None, :],
+        "lengths": lengths,
+    }
+
+    if "mfcc" in items[0]:
+        c = items[0]["mfcc"].shape[1]
+        mf = np.zeros((b, c, 1, t), np.float32)
+        for i, it in enumerate(items):
+            f = it["mfcc"][:t]
+            mf[i, :, 0, : f.shape[0]] = f.T
+        cond["mfcc"] = mf
+
+    if "seed" in items[0]:
+        s = items[0]["seed"].shape[0]
+        seed = np.zeros((b, d, 1, s), np.float32)
+        for i, it in enumerate(items):
+            seed[i, :, 0, :] = it["seed"].T
+        cond["seed"] = seed
+
+    if "audio" in items[0]:
+        la = max(it["audio"].shape[0] for it in items)
+        audio = np.zeros((b, la), np.float32)
+        for i, it in enumerate(items):
+            audio[i, : it["audio"].shape[0]] = it["audio"]
+        cond["audio"] = audio
+
+    if "text" in items[0]:
+        cond["text"] = [it["text"] for it in items]
+
+    return motion, cond
+
+
+def device_cond(cond: dict) -> dict:
+    """Strip host-only fields (strings) so the cond pytree is jit-safe."""
+    return {k: v for k, v in cond.items() if k != "text"}

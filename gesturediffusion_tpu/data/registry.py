@@ -1,0 +1,70 @@
+"""Dataset registry / loader factory.
+
+Functional parity surface with the reference factory
+(reference: data_loaders/get_data.py:5-36), extended with the synthetic
+dataset for hermetic tests/bench.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+from gesturediffusion_tpu.data.collate import collate_gesture
+from gesturediffusion_tpu.data.genea import Genea2022, Genea2023
+from gesturediffusion_tpu.data.loader import DataLoader
+from gesturediffusion_tpu.data.synthetic import SyntheticGesture
+
+
+def get_dataset_class(name: str):
+    if name == "genea2023":
+        return Genea2023
+    if name == "genea2022":
+        return Genea2022
+    if name == "synthetic":
+        return SyntheticGesture
+    raise ValueError(f"Unsupported dataset name [{name}]")
+
+
+def get_dataset(
+    name: str,
+    num_frames: int,
+    split: str = "train",
+    datapath: Optional[str] = None,
+    n_seed_poses: int = 10,
+    **kwargs,
+):
+    cls = get_dataset_class(name)
+    if name == "synthetic":
+        return cls(window=num_frames, n_seed_poses=n_seed_poses, **kwargs)
+    kw = dict(split=split, window=num_frames, **kwargs)
+    if datapath:
+        kw["datapath"] = datapath
+    if name == "genea2023":
+        kw["n_seed_poses"] = n_seed_poses
+    return cls(**kw)
+
+
+def get_dataset_loader(
+    name: str,
+    batch_size: int,
+    num_frames: int,
+    split: str = "train",
+    datapath: Optional[str] = None,
+    num_workers: int = 8,
+    n_seed_poses: int = 10,
+    seed: int = 0,
+    **kwargs,
+) -> DataLoader:
+    dataset = get_dataset(
+        name, num_frames, split, datapath, n_seed_poses=n_seed_poses, **kwargs
+    )
+    return DataLoader(
+        dataset,
+        batch_size=batch_size,
+        collate_fn=partial(collate_gesture, max_frames=num_frames),
+        shuffle=(split == "train"),
+        drop_last=True,
+        num_workers=num_workers,
+        seed=seed,
+    )

@@ -1,0 +1,238 @@
+"""MDM V2 gesture denoiser ("CrossAtt+RPM") in Flax.
+
+Functional parity surface with the reference denoiser
+(reference: model/mdm.py:10-224): audio (MFCC) + seed-pose + optional CLIP
+text conditioning, causal windowed LocalAttention with rotary embeddings
+over 8 attention heads, then an 8-layer post-LN transformer encoder with a
+prepended conditioning token.
+
+JAX/TPU design differences from the reference (semantics preserved):
+  * Batch-major [B, T, D] instead of seq-major.
+  * Text enters as a precomputed CLIP sentence embedding (`cond['text_emb']`)
+    — string tokenization/CLIP run host-side once per batch, outside jit
+    (see models/clip_text.py), exactly mirroring the frozen-CLIP contract.
+  * `uncond` is a per-sample float mask (enables batched classifier-free
+    guidance: cond/uncond stacked on the batch axis, one forward pass).
+  * Conditioning dropout (`cond_mask_prob`) draws from the 'cond_mask' RNG
+    collection when train=True.
+
+Shape flow (reference: model/mdm.py:105-224 and SURVEY.md §3.6):
+[B,J,1,T] -(InputProcess)-> [B,T,D] -(cat audio)-> [B,T,D+A]
+-(cat tiled seed+text+t token)-> [B,T,2D+A] -(Dense)-> [B,T,D]
+-> 8 local-attn heads + RoPE -> causal LocalAttention(window 10)
+-> prepend cond token -> RoPE -> TransformerEncoder x8 -> drop token
+-(OutputProcess)-> [B,J,1,T].
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from gesturediffusion_tpu.models.embeddings import (
+    TimestepEmbedder,
+    apply_rotary_pos_emb,
+    rotary_freqs,
+)
+from gesturediffusion_tpu.models.transformer import TransformerEncoder
+from gesturediffusion_tpu.ops.local_attention import local_attention
+
+
+class SeedPoseEncoder(nn.Module):
+    """Flattened seed poses -> latent (reference: model/mdm.py:382-392)."""
+
+    latent_dim: int
+
+    @nn.compact
+    def __call__(self, flat_seed: jax.Array) -> jax.Array:
+        return nn.Dense(self.latent_dim, name="seed_embed")(flat_seed)
+
+
+class WavEncoder(nn.Module):
+    """Raw-audio conv stack (reference: model/mdm.py:312-338, Trimodal).
+
+    Input [B, L] -> [B, 32, T'] frame features.
+    """
+
+    @nn.compact
+    def __call__(self, wav: jax.Array, *, train: bool = False) -> jax.Array:
+        x = wav[..., None]  # [B, L, 1]
+        specs = [
+            # (features, dilation, padding)
+            (16, 1, 1600),
+            (32, 4, 0),
+            (64, 7, 0),
+            (32, 13, 0),
+        ]
+        for i, (feat, dil, pad) in enumerate(specs):
+            x = nn.Conv(
+                feat,
+                kernel_size=(15,),
+                strides=(5,),
+                kernel_dilation=(dil,),
+                padding=[(pad, pad)],
+                name=f"conv_{i}",
+            )(x)
+            if i < len(specs) - 1:
+                x = nn.BatchNorm(
+                    use_running_average=not train, name=f"bn_{i}"
+                )(x)
+                x = nn.leaky_relu(x, negative_slope=0.3)
+        return x.transpose(0, 2, 1)  # [B, C, T']
+
+
+class MDM(nn.Module):
+    """MDM V2 gesture denoiser."""
+
+    njoints: int = 498
+    nfeats: int = 1
+    latent_dim: int = 256
+    text_dim: int = 64
+    ff_size: int = 1024
+    num_layers: int = 8
+    num_heads: int = 4
+    dropout: float = 0.1
+    activation: str = "gelu"
+    clip_dim: int = 512
+    use_text: bool = False
+    cond_mask_prob: float = 0.0
+    seed_poses: int = 10
+    mfcc_input: bool = True
+    use_wav_enc: bool = False
+    mfcc_dim: int = 26
+    cl_head: int = 8
+    window_size: int = 10
+    data_rep: str = "genea_vec"
+    dtype: Any = jnp.float32
+
+    @property
+    def audio_feat_dim(self) -> int:
+        return 32 if self.use_wav_enc else self.mfcc_dim
+
+    def _mask_cond(self, cond2d, uncond, train, rng=None):
+        """Zero conditioning per-sample: forced (uncond) and/or random CFG
+        dropout during training (reference: model/mdm.py:242-250)."""
+        keep = 1.0 - uncond.astype(cond2d.dtype)[:, None]
+        out = cond2d * keep
+        if train and self.cond_mask_prob > 0.0:
+            bern = jax.random.bernoulli(
+                rng, self.cond_mask_prob, (cond2d.shape[0], 1)
+            )
+            out = out * (1.0 - bern.astype(cond2d.dtype))
+        return out
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        timesteps: jax.Array,
+        cond: dict,
+        *,
+        train: bool = False,
+    ) -> jax.Array:
+        bs, njoints, nfeats, nframes = x.shape
+        if self.use_text and self.text_dim >= self.latent_dim:
+            raise ValueError(
+                "text_dim must be < latent_dim (seed encoder gets the rest)"
+            )
+        uncond = cond.get("uncond")
+        if uncond is None:
+            uncond = jnp.zeros((bs,), x.dtype)
+        mask_rng = (
+            self.make_rng("cond_mask")
+            if train and self.cond_mask_prob > 0.0
+            else None
+        )
+
+        # ---- feature calculation -------------------------------------- #
+        if self.use_text:
+            enc_text = cond["text_emb"].astype(x.dtype)  # [B, clip_dim]
+            emb_text = nn.Dense(self.text_dim, name="embed_text")(
+                self._mask_cond(enc_text, uncond, train, mask_rng)
+            )
+
+        seed = cond["seed"]  # [B, J, 1, S]
+        flat_seed = seed[:, :, 0, :].reshape(bs, -1)
+        seed_latent = (
+            self.latent_dim - self.text_dim if self.use_text else self.latent_dim
+        )
+        emb_seed = SeedPoseEncoder(seed_latent, name="seed_pose_encoder")(
+            self._mask_cond(flat_seed, uncond, train, mask_rng)
+        )
+
+        emb_t = TimestepEmbedder(self.latent_dim, name="embed_timestep")(
+            timesteps
+        )  # [B, D]
+
+        if self.mfcc_input:
+            emb_audio = cond["mfcc"][:, :, 0, :]  # [B, A, T]
+        elif self.use_wav_enc:
+            emb_audio = WavEncoder(name="wav_encoder")(cond["audio"], train=train)
+        else:
+            raise NotImplementedError("audio conditioning required")
+        emb_audio = emb_audio.transpose(0, 2, 1).astype(x.dtype)  # [B, T, A]
+
+        # pose: [B, J, 1, T] -> [B, T, J]
+        pose = x[:, :, 0, :].transpose(0, 2, 1)
+        emb_pose = nn.Dense(self.latent_dim, name="input_process")(pose)
+
+        # ---- feature aggregation -------------------------------------- #
+        fg = jnp.concatenate([emb_pose, emb_audio], axis=-1)  # [B, T, D+A]
+        if self.use_text:
+            stxt = jnp.concatenate([emb_text, emb_seed], axis=-1)  # [B, D]
+        else:
+            stxt = emb_seed
+        coa = stxt + emb_t  # [B, D] conditioning token
+        coa_rep = jnp.broadcast_to(coa[:, None, :], (bs, nframes, self.latent_dim))
+        embs = jnp.concatenate([fg, coa_rep], axis=-1)  # [B, T, 2D+A]
+        xseq = nn.Dense(self.latent_dim, name="project_to_lat")(embs)  # [B, T, D]
+
+        # ---- cross-local attention over cl_head heads ----------------- #
+        dh = self.latent_dim // self.cl_head
+        heads = xseq.reshape(bs, nframes, self.cl_head, dh).transpose(0, 2, 1, 3)
+        freqs = rotary_freqs(nframes, dh, x.dtype)
+        heads, _ = apply_rotary_pos_emb(heads, heads, freqs)
+        drop_rng = (
+            self.make_rng("dropout") if train and self.dropout > 0 else None
+        )
+        heads = local_attention(
+            heads,
+            heads,
+            heads,
+            window_size=self.window_size,
+            causal=True,
+            look_backward=1,
+            look_forward=0,
+            dropout_rate=self.dropout if train else 0.0,
+            dropout_rng=drop_rng,
+        )
+        xseq = heads.transpose(0, 2, 1, 3).reshape(bs, nframes, self.latent_dim)
+
+        # ---- prepend cond token, second rotary pass ------------------- #
+        xseq = jnp.concatenate([coa[:, None, :], xseq], axis=1)  # [B, T+1, D]
+        heads = xseq.reshape(bs, nframes + 1, self.cl_head, dh).transpose(
+            0, 2, 1, 3
+        )
+        freqs2 = rotary_freqs(nframes + 1, dh, x.dtype)
+        heads, _ = apply_rotary_pos_emb(heads, heads, freqs2)
+        xseq = heads.transpose(0, 2, 1, 3).reshape(bs, nframes + 1, self.latent_dim)
+
+        # ---- global self-attention ------------------------------------ #
+        out = TransformerEncoder(
+            num_layers=self.num_layers,
+            d_model=self.latent_dim,
+            num_heads=self.num_heads,
+            dim_feedforward=self.ff_size,
+            dropout=self.dropout,
+            activation=self.activation,
+            name="seqTransEncoder",
+        )(xseq, deterministic=not train)
+
+        out = out[:, 1:]  # drop conditioning token
+        out = nn.Dense(self.njoints * self.nfeats, name="output_process")(out)
+        # [B, T, J*F] -> [B, J, F, T]
+        out = out.reshape(bs, nframes, self.njoints, self.nfeats)
+        return out.transpose(0, 2, 3, 1)

@@ -1,0 +1,59 @@
+"""Mesh construction and sharding rules.
+
+The reference's distributed layer is a neutered MPI/NCCL shim
+(reference: utils/dist_util.py:18-51, diffusion/resample.py:83-99).  The
+TPU-native replacement is GSPMD over a `jax.sharding.Mesh`:
+
+  * axis "data"  — batch parallelism over ICI (replaces DDP); gradients
+    all-reduce automatically because params are replicated.
+  * axis "model" — reserved for tensor parallelism of the denoiser's
+    Dense/attention weights (latent dims here are small, so dp is the
+    production layout; the axis exists so larger configs shard cleanly).
+
+Collectives (psum for gradient reduction, all_gather for the loss-aware
+sampler's global view) are inserted by XLA from sharding annotations — no
+hand-written communication.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    devices: Optional[Sequence[jax.Device]] = None,
+    data: Optional[int] = None,
+    model: int = 1,
+) -> Mesh:
+    """Build a (data, model) mesh; defaults to all devices on the data axis."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if data is None:
+        data = n // model
+    assert data * model == n, f"{data}x{model} mesh != {n} devices"
+    arr = np.asarray(devices).reshape(data, model)
+    return Mesh(arr, ("data", "model"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) axis over 'data'."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Device_put a host batch pytree with the batch axis sharded."""
+    sh = batch_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+
+
+def replicate(mesh: Mesh, tree):
+    sh = replicated(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)

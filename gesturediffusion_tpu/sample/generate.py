@@ -1,0 +1,257 @@
+"""Gesture generation CLI: `python -m gesturediffusion_tpu.sample.generate`.
+
+Functional parity surface with the reference generator
+(reference: sample/generate.py:23-304): load checkpoint args, val split,
+chunked autoregressive sampling over takes (seed hand-off of the last
+`seed_poses` frames between chunks :104-107), CFG scale injection
+:114-115, inverse z-norm + interleaved position/rotation split :132-146,
+results.npy/txt dump :208-216, stick-figure video :238, BVH export for
+generated and GT motion :246-284, audio mux :297-301.
+
+TPU design: the 14-chunk autoregressive outer loop stays host-side (it is
+sequential by construction), but each chunk is ONE on-device `lax.scan`
+over all denoise steps with the CFG pair batched — the reference's
+1000-step × 2-pass host loop per chunk collapses to a single device call.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gesturediffusion_tpu.data.collate import collate_gesture, device_cond
+from gesturediffusion_tpu.data.registry import get_dataset
+from gesturediffusion_tpu.diffusion import sampling
+from gesturediffusion_tpu.models.cfg import classifier_free_guidance
+from gesturediffusion_tpu.utils import logger as log_lib
+from gesturediffusion_tpu.utils import paramutil
+from gesturediffusion_tpu.utils.cache import enable_compilation_cache
+from gesturediffusion_tpu.utils.checkpoint import load_checkpoint
+from gesturediffusion_tpu.utils.fixseed import fixseed
+from gesturediffusion_tpu.utils.model_factory import create_model_and_diffusion
+from gesturediffusion_tpu.utils.parser import generate_args
+
+
+def split_pose_vector(vec: np.ndarray, n_joints: int):
+    """Interleaved 6-per-joint pose vector -> (positions, rotations).
+
+    vec [..., n_joints*6] with per-joint layout [rx, ry, rz, px, py, pz]
+    (reference: sample/generate.py:138-146).
+    Returns (positions [..., J, 3], rotations [..., J, 3]).
+    """
+    idx_pos = np.asarray(
+        [[i * 6 + 3, i * 6 + 4, i * 6 + 5] for i in range(n_joints)]
+    ).flatten()
+    idx_rot = np.asarray(
+        [[i * 6, i * 6 + 1, i * 6 + 2] for i in range(n_joints)]
+    ).flatten()
+    pos = vec[..., idx_pos].reshape(vec.shape[:-1] + (n_joints, 3))
+    rot = vec[..., idx_rot].reshape(vec.shape[:-1] + (n_joints, 3))
+    return pos, rot
+
+
+def main(argv=None):
+    args = generate_args(argv)
+    fixseed(args.seed)
+    enable_compilation_cache()
+
+    fps = 30
+    out_path = args.output_dir
+    name = os.path.basename(os.path.dirname(args.model_path))
+    niter = os.path.basename(os.path.normpath(args.model_path)).replace(
+        "model", ""
+    )
+    if out_path == "":
+        out_path = os.path.join(
+            os.path.dirname(args.model_path),
+            f"samples_{name}_{niter}_seed{args.seed}",
+        )
+
+    log_lib.log("Loading dataset...")
+    dataset = get_dataset(
+        args.dataset,
+        args.num_frames,
+        split="val",
+        datapath=args.data_dir or None,
+        n_seed_poses=args.seed_poses,
+    )
+    n_joints = dataset.pose_dim // 6
+
+    # takes / chunks: the reference hardcodes 41 takes x 14 chunks; we take
+    # what the val split actually has, capped by num_samples.
+    if hasattr(dataset, "samples_cumulative"):
+        cum = np.asarray(dataset.samples_cumulative)
+        per_take = np.diff(np.concatenate([[0], cum]))
+        n_takes = min(args.num_samples, len(per_take))
+        chunks_per_take = int(per_take[:n_takes].min())
+    else:
+        n_takes = min(args.num_samples, len(dataset))
+        chunks_per_take = 1
+        cum = np.arange(1, len(dataset) + 1)
+
+    log_lib.log(
+        f"Generating {n_takes} takes x {chunks_per_take} chunks "
+        f"of {args.num_frames} frames"
+    )
+
+    log_lib.log("Creating model and diffusion...")
+    model, diffusion = create_model_and_diffusion(args, dataset)
+    ckpt = load_checkpoint(args.model_path)
+    params = ckpt["params"]
+
+    def base_model_fn(x, t, c):
+        return model.apply(params, x, t, c)
+
+    if args.guidance_param != 1:
+        model_fn = classifier_free_guidance(
+            base_model_fn, cond_mask_prob=args.cond_mask_prob
+        )
+    else:
+        model_fn = base_model_fn
+
+    shape = (n_takes, dataset.pose_dim, 1, args.num_frames)
+    sampler_name = getattr(args, "sampler", "ddpm")
+    loop = {
+        "ddpm": sampling.p_sample_loop,
+        "ddim": sampling.ddim_sample_loop,
+        "plms": sampling.plms_sample_loop,
+    }[sampler_name]
+
+    @jax.jit
+    def sample_chunk(rng, cond):
+        return loop(diffusion, model_fn, shape, rng, cond, clip_denoised=False)
+
+    all_motions, all_rot, all_gt_pos, all_gt_rot = [], [], [], []
+    all_text, all_audio, all_lengths = [], [], []
+    sample_out = None
+    rng = jax.random.PRNGKey(args.seed)
+
+    for chunk in range(chunks_per_take):
+        items = []
+        for take in range(n_takes):
+            chunk_index = (0 if take == 0 else int(cum[take - 1])) + chunk
+            if chunk_index >= int(cum[take]):
+                raise ValueError(f"chunk {chunk} out of range for take {take}")
+            items.append(dataset[chunk_index])
+        gt_motion, cond = collate_gesture(items, max_frames=args.num_frames)
+        dcond = {k: jnp.asarray(v) for k, v in device_cond(cond).items()}
+
+        if chunk > 0:
+            # autoregressive seed hand-off (reference :107)
+            dcond["seed"] = sample_out[..., -args.seed_poses :]
+        if args.guidance_param != 1:
+            dcond["scale"] = jnp.full((n_takes,), args.guidance_param)
+
+        log_lib.log(f"### Sampling chunk {chunk + 1} of {chunks_per_take}")
+        rng, step_rng = jax.random.split(rng)
+        sample_out = sample_chunk(step_rng, dcond)
+
+        sample_np = dataset.inv_transform(
+            np.asarray(sample_out)[:, :, 0, :].transpose(0, 2, 1)
+        )  # [B, T, D]
+        pos, rot = split_pose_vector(sample_np, n_joints)
+        gt_np = dataset.inv_transform(
+            gt_motion[:, :, 0, :].transpose(0, 2, 1)
+        )
+        gpos, grot = split_pose_vector(gt_np, n_joints)
+
+        all_motions.append(pos)       # [B, T, J, 3]
+        all_rot.append(rot)
+        all_gt_pos.append(gpos)
+        all_gt_rot.append(grot)
+        all_text += cond.get("text", [""] * n_takes)
+        if "audio" in cond:
+            all_audio.append(np.asarray(cond["audio"]))
+        all_lengths.append(np.asarray(cond["lengths"]))
+
+    motions = np.concatenate(all_motions, axis=1)  # [B, T_total, J, 3]
+    rotations = np.concatenate(all_rot, axis=1)
+    gt_pos = np.concatenate(all_gt_pos, axis=1)
+    gt_rot = np.concatenate(all_gt_rot, axis=1)
+    audios = np.concatenate(all_audio, axis=1) if all_audio else None
+    lengths = np.concatenate(all_lengths, axis=0)
+
+    if os.path.exists(out_path):
+        shutil.rmtree(out_path)
+    os.makedirs(out_path)
+
+    npy_path = os.path.join(out_path, "results.npy")
+    log_lib.log(f"saving results file to [{npy_path}]")
+    np.save(
+        npy_path,
+        {
+            "motion": motions.transpose(0, 2, 3, 1),  # [B, J, 3, T] contract
+            "text": all_text,
+            "lengths": lengths,
+            "num_samples": n_takes,
+            "num_chunks": chunks_per_take,
+        },
+    )
+    with open(npy_path.replace(".npy", ".txt"), "w") as fw:
+        fw.write("\n".join(all_text))
+    with open(npy_path.replace(".npy", "_len.txt"), "w") as fw:
+        fw.write("\n".join(str(int(l)) for l in lengths))
+
+    # ---- visualization + BVH export -------------------------------- #
+    from gesturediffusion_tpu.viz.bvh import export_gesture_bvh, read_bvh
+    from gesturediffusion_tpu.viz.plot import plot_3d_motion
+
+    chains = (
+        paramutil.genea2022_kinematic_chain
+        if n_joints >= 83
+        else [[i, i + 1] for i in range(n_joints - 1)]
+    )
+    bvh_ref_path = os.path.join(
+        getattr(dataset, "datapath", ""), "trn/main-agent/bvh/reference.bvh"
+    )
+    takes = getattr(dataset, "takes", [f"take_{i}" for i in range(n_takes)])
+
+    for i in range(n_takes):
+        save_file = takes[i] if i < len(takes) else f"take_{i}"
+        anim_path = os.path.join(out_path, str(save_file))
+        log_lib.log(f"Saving take {i}: {save_file}")
+        try:
+            plot_3d_motion(
+                anim_path + ".mp4", chains, motions[i], dataset=args.dataset,
+                title="", fps=fps,
+            )
+        except Exception as e:  # viz is best-effort (headless envs)
+            log_lib.log(f"  (video skipped: {e})")
+        reference = (
+            read_bvh(bvh_ref_path, skip_motion=True)
+            if os.path.isfile(bvh_ref_path)
+            else None
+        )
+        export_gesture_bvh(
+            anim_path + ".bvh", rotations[i], motions[i][:, 0, :],
+            reference=reference, fps=fps,
+        )
+        export_gesture_bvh(
+            anim_path + "_gt.bvh", gt_rot[i], gt_pos[i][:, 0, :],
+            reference=reference, fps=fps,
+        )
+        if audios is not None:
+            from scipy.io import wavfile
+
+            wavfile.write(
+                anim_path + ".wav", 22050,
+                (audios[i] * 32767).astype(np.int16),
+            )
+            if shutil.which("ffmpeg") and os.path.isfile(anim_path + ".mp4"):
+                os.system(
+                    f"ffmpeg -y -loglevel warning -i {anim_path}.mp4 "
+                    f"-i {anim_path}.wav -c:v copy -map 0:v:0 -map 1:a:0 "
+                    f"-c:a aac -b:a 192k {anim_path}_audio.mp4"
+                )
+
+    log_lib.log(f"[Done] Results are at [{os.path.abspath(out_path)}]")
+    return out_path
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

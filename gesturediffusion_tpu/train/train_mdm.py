@@ -1,0 +1,100 @@
+"""Training CLI: `python -m gesturediffusion_tpu.train.train_mdm`.
+
+Functional parity surface with the reference trainer entry
+(reference: train/train_mdm.py:16-49): flags -> seed -> platform ->
+save_dir guard + args.json dump -> data -> model+diffusion -> TrainLoop.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+
+from gesturediffusion_tpu.data.collate import device_cond
+from gesturediffusion_tpu.data.registry import get_dataset_loader
+from gesturediffusion_tpu.parallel import mesh as mesh_lib
+from gesturediffusion_tpu.train.loop import TrainConfig, TrainLoop
+from gesturediffusion_tpu.train.platforms import create_platform
+from gesturediffusion_tpu.utils import logger as log_lib
+from gesturediffusion_tpu.utils.cache import enable_compilation_cache
+from gesturediffusion_tpu.utils.fixseed import fixseed
+from gesturediffusion_tpu.utils.model_factory import create_model_and_diffusion
+from gesturediffusion_tpu.utils.parser import train_args
+
+
+def main(argv=None):
+    args = train_args(argv)
+    fixseed(args.seed)
+    enable_compilation_cache()
+
+    train_platform = create_platform(args.train_platform_type, args.save_dir)
+    train_platform.report_args(vars(args), name="Args")
+
+    if args.save_dir is None:
+        raise FileNotFoundError("save_dir was not specified.")
+    if os.path.exists(args.save_dir) and not args.overwrite:
+        raise FileExistsError(f"save_dir [{args.save_dir}] already exists.")
+    os.makedirs(args.save_dir, exist_ok=True)
+
+    log_lib.log("creating data loader...")
+    data = get_dataset_loader(
+        name=args.dataset,
+        batch_size=args.batch_size,
+        num_frames=args.num_frames,
+        datapath=args.data_dir or None,
+        n_seed_poses=args.seed_poses,
+        seed=args.seed,
+    )
+
+    log_lib.log("creating model and diffusion...")
+    model, diffusion = create_model_and_diffusion(args, data.dataset)
+
+    motion, cond = next(iter(data))
+    dcond = {k: jnp.asarray(v) for k, v in device_cond(cond).items()}
+    x0 = jnp.asarray(motion)
+    t0 = jnp.zeros((motion.shape[0],), jnp.int32)
+    params = model.init(jax.random.PRNGKey(args.seed), x0, t0, dcond)
+    n_params = sum(p.size for p in jax.tree_util.tree_leaves(params))
+    log_lib.log(f"model initialized: {n_params / 1e6:.2f}M params")
+
+    def apply_fn(p, x, t, c, rngs=None):
+        return model.apply(p, x, t, c, train=True, rngs=rngs)
+
+    config = TrainConfig(
+        save_dir=args.save_dir,
+        lr=args.lr,
+        weight_decay=args.weight_decay,
+        lr_anneal_steps=args.lr_anneal_steps,
+        num_steps=args.num_steps,
+        batch_size=args.batch_size,
+        log_interval=args.log_interval,
+        save_interval=args.save_interval,
+        schedule_sampler=args.schedule_sampler,
+        ema_rate=args.ema_rate,
+        use_bf16=args.use_bf16,
+        seed=args.seed,
+    )
+    mesh = mesh_lib.make_mesh(model=args.mesh_model_axis)
+    loop = TrainLoop(
+        config,
+        diffusion,
+        apply_fn,
+        params,
+        data,
+        mesh=mesh,
+        platform=train_platform,
+        args_to_save=vars(args),
+    )
+    if args.resume_checkpoint:
+        loop.load(args.resume_checkpoint)
+    log_lib.log("training...")
+    loop.run_loop()
+    train_platform.close()
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -1,0 +1,31 @@
+"""Checkpoint load helpers (Orbax pytrees, `model{step:09d}` dirs).
+
+Counterpart of the reference's torch.load + load_model_wo_clip
+(reference: utils/model_util.py:6-9, train/training_loop.py:102-124).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+
+def load_checkpoint(path: str, template: Optional[Any] = None) -> dict:
+    """Restore a checkpoint dict ({'params', 'ema_params', 'opt_state', ...}).
+
+    `template` (optional) restores with exact dtypes/structure.
+    """
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.PyTreeCheckpointer()
+    path = os.path.abspath(path)
+    if template is not None:
+        return ckptr.restore(path, item=template)
+    return ckptr.restore(path)
+
+
+def load_params(path: str, use_ema: bool = False):
+    ckpt = load_checkpoint(path)
+    if use_ema and ckpt.get("ema_params"):
+        return ckpt["ema_params"]
+    return ckpt["params"]

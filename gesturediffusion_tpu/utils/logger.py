@@ -1,0 +1,164 @@
+"""Key-value metrics logger.
+
+Functional parity surface with the reference's OpenAI-baselines logger
+(reference: diffusion/logger.py — logkv/logkv_mean/dumpkvs:212-240,
+stdout/csv/json sinks :36-148, profile_kv wall-time scopes :293-317).
+Single-process by design: under GSPMD there is one logical program, so the
+MPI rank plumbing disappears.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import csv as _csv
+import json
+import os
+import sys
+import time
+from collections import defaultdict
+from typing import Optional
+
+
+class KVWriter:
+    def writekvs(self, kvs: dict) -> None:
+        raise NotImplementedError
+
+
+class HumanOutputFormat(KVWriter):
+    def __init__(self, stream=None):
+        self.stream = stream or sys.stdout
+
+    def writekvs(self, kvs: dict) -> None:
+        key2str = {}
+        for key, val in sorted(kvs.items()):
+            valstr = f"{val:<8.3g}" if hasattr(val, "__float__") else str(val)
+            key2str[self._trunc(key)] = self._trunc(valstr)
+        if not key2str:
+            return
+        keywidth = max(map(len, key2str.keys()))
+        valwidth = max(map(len, key2str.values()))
+        dashes = "-" * (keywidth + valwidth + 7)
+        lines = [dashes]
+        for key, val in sorted(key2str.items()):
+            lines.append(
+                f"| {key}{' ' * (keywidth - len(key))} | "
+                f"{val}{' ' * (valwidth - len(val))} |"
+            )
+        lines.append(dashes)
+        self.stream.write("\n".join(lines) + "\n")
+        self.stream.flush()
+
+    @staticmethod
+    def _trunc(s: str, maxlen: int = 30) -> str:
+        return s[: maxlen - 3] + "..." if len(s) > maxlen else s
+
+
+class JSONOutputFormat(KVWriter):
+    def __init__(self, filename: str):
+        self.file = open(filename, "at")
+
+    def writekvs(self, kvs: dict) -> None:
+        out = {
+            k: float(v) if hasattr(v, "__float__") else v for k, v in kvs.items()
+        }
+        self.file.write(json.dumps(out) + "\n")
+        self.file.flush()
+
+
+class CSVOutputFormat(KVWriter):
+    def __init__(self, filename: str):
+        self.filename = filename
+        self.keys: list[str] = []
+
+    def writekvs(self, kvs: dict) -> None:
+        extra = sorted(set(kvs.keys()) - set(self.keys))
+        if extra:
+            self.keys += extra
+            # rewrite with the widened header
+            rows = []
+            if os.path.exists(self.filename):
+                with open(self.filename) as f:
+                    rows = list(_csv.DictReader(f))
+            with open(self.filename, "w", newline="") as f:
+                w = _csv.DictWriter(f, fieldnames=self.keys)
+                w.writeheader()
+                for row in rows:
+                    w.writerow(row)
+        with open(self.filename, "a", newline="") as f:
+            w = _csv.DictWriter(f, fieldnames=self.keys)
+            w.writerow({k: kvs.get(k, "") for k in self.keys})
+
+
+class Logger:
+    def __init__(self, dir: Optional[str] = None, output_formats=None):
+        self.dir = dir
+        self.name2val: dict = defaultdict(float)
+        self.name2cnt: dict = defaultdict(int)
+        self._start_times: dict = {}
+        if output_formats is None:
+            output_formats = [HumanOutputFormat()]
+            if dir:
+                os.makedirs(dir, exist_ok=True)
+                output_formats += [
+                    JSONOutputFormat(os.path.join(dir, "progress.json")),
+                    CSVOutputFormat(os.path.join(dir, "progress.csv")),
+                ]
+        self.output_formats = output_formats
+
+    def logkv(self, key, val) -> None:
+        self.name2val[key] = val
+
+    def logkv_mean(self, key, val) -> None:
+        oldval, cnt = self.name2val[key], self.name2cnt[key]
+        self.name2val[key] = oldval * cnt / (cnt + 1) + float(val) / (cnt + 1)
+        self.name2cnt[key] = cnt + 1
+
+    def dumpkvs(self) -> dict:
+        out = dict(self.name2val)
+        for fmt in self.output_formats:
+            fmt.writekvs(self.name2val)
+        self.name2val.clear()
+        self.name2cnt.clear()
+        return out
+
+    @contextlib.contextmanager
+    def profile_kv(self, name: str):
+        start = time.time()
+        try:
+            yield
+        finally:
+            self.name2val[f"wait_{name}"] = (
+                self.name2val.get(f"wait_{name}", 0.0) + time.time() - start
+            )
+
+
+_GLOBAL: Optional[Logger] = None
+
+
+def configure(dir: Optional[str] = None) -> Logger:
+    global _GLOBAL
+    _GLOBAL = Logger(dir=dir)
+    return _GLOBAL
+
+
+def get_current() -> Logger:
+    global _GLOBAL
+    if _GLOBAL is None:
+        _GLOBAL = Logger()
+    return _GLOBAL
+
+
+def logkv(key, val):
+    get_current().logkv(key, val)
+
+
+def logkv_mean(key, val):
+    get_current().logkv_mean(key, val)
+
+
+def dumpkvs():
+    return get_current().dumpkvs()
+
+
+def log(*args):
+    print(*args, flush=True)

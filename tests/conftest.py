@@ -2,23 +2,30 @@
 
 This is the JAX-native way to exercise multi-chip sharding logic without TPU
 hardware (SURVEY.md §4): all mesh/pjit tests see 8 CPU devices.
+
+NOTE: this environment's sitecustomize registers the `axon` TPU backend and
+force-sets `jax_platforms=axon,cpu` via jax.config — env vars alone do NOT
+route to CPU; the config must be updated after importing jax and before any
+backend initialization.
 """
 
 import os
-
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
-
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
-# The CPU backend lowers f32 matmuls to a fast low-precision path by default;
-# tests check numerics, so force full precision.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+
+# The CPU backend lowers f32 matmuls to a fast low-precision path by default
+# on some targets (and the TPU tunnel uses bf16 passes); tests check
+# numerics, so force full precision.
 jax.config.update("jax_default_matmul_precision", "highest")
+
+# This box has a single CPU core; XLA compiles dominate test time.  The
+# persistent compilation cache makes re-runs fast.
+from gesturediffusion_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
