@@ -92,6 +92,25 @@ class WordVectorizer:
 # --- datasets ----------------------------------------------------------- #
 
 
+class HashVectorizer:
+    """GloVe-free stand-in: deterministic random embedding per token.
+
+    For hermetic tests / smoke evals when the external GloVe files are
+    absent — NOT metric-parity (use WordVectorizer with real GloVe data).
+    """
+
+    def __init__(self, word_size: int = 300):
+        self.word_size = word_size
+
+    def __getitem__(self, item: str):
+        word, pos = item.split("/")
+        rs = np.random.RandomState(abs(hash(word)) % (2**31))
+        word_vec = rs.randn(self.word_size).astype(np.float32) * 0.1
+        pos_vec = np.zeros(len(POS_ENUMERATOR), np.float32)
+        pos_vec[POS_ENUMERATOR.get(pos, POS_ENUMERATOR["OTHER"])] = 1
+        return word_vec, pos_vec
+
+
 class Text2MotionDatasetV2:
     """Train/eval text-to-motion dataset (length-bucketed)."""
 
