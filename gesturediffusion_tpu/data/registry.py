@@ -23,6 +23,14 @@ def get_dataset_class(name: str):
         return Genea2022
     if name == "synthetic":
         return SyntheticGesture
+    if name in ("humanml", "kit"):
+        from gesturediffusion_tpu.data.humanml import Text2MotionDatasetV2
+
+        return Text2MotionDatasetV2
+    if name == "humanact12":
+        from gesturediffusion_tpu.data.a2m import HumanAct12Poses
+
+        return HumanAct12Poses
     raise ValueError(f"Unsupported dataset name [{name}]")
 
 
@@ -37,6 +45,18 @@ def get_dataset(
     cls = get_dataset_class(name)
     if name == "synthetic":
         return cls(window=num_frames, n_seed_poses=n_seed_poses, **kwargs)
+    if name in ("humanml", "kit"):
+        return cls(
+            datapath or f"./dataset/{'HumanML3D' if name == 'humanml' else 'KIT-ML'}",
+            split=split,
+            dataset_name="t2m" if name == "humanml" else "kit",
+            **kwargs,
+        )
+    if name == "humanact12":
+        kw = dict(split=split, num_frames=num_frames, **kwargs)
+        if datapath:
+            kw["datapath"] = datapath
+        return cls(**kw)
     kw = dict(split=split, window=num_frames, **kwargs)
     if datapath:
         kw["datapath"] = datapath
@@ -59,10 +79,18 @@ def get_dataset_loader(
     dataset = get_dataset(
         name, num_frames, split, datapath, n_seed_poses=n_seed_poses, **kwargs
     )
+    if name == "humanact12":
+        from gesturediffusion_tpu.data.a2m import collate_a2m
+
+        collate_fn = partial(collate_a2m, max_frames=num_frames)
+    elif name in ("humanml", "kit"):
+        collate_fn = partial(collate_gesture, max_frames=196)
+    else:
+        collate_fn = partial(collate_gesture, max_frames=num_frames)
     return DataLoader(
         dataset,
         batch_size=batch_size,
-        collate_fn=partial(collate_gesture, max_frames=num_frames),
+        collate_fn=collate_fn,
         shuffle=(split == "train"),
         drop_last=True,
         num_workers=num_workers,

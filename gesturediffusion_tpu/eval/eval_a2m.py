@@ -1,0 +1,444 @@
+"""Action-to-motion benchmark (HumanAct12 / UESTC).
+
+Functional parity surface with the reference a2m evaluation
+(reference: eval/eval_humanact12_uestc.py:18-80 — CFG wrap, dispatch,
+YAML metric dumps, debug/full modes (1000 samples x 20 seeds);
+eval/a2m/gru_eval.py:19-131 — NewDataloader generating per-batch samples
+and FK'ing to xyz via rot2xyz(pose_rep='rot6d', jointstype='smpl');
+eval/a2m/action2motion/evaluate.py — A2MEvaluation with GRU classifier
+accuracy/FID/diversity/multimodality (quota-based multimodality loop)).
+
+TPU design: sample generation + FK + classifier forward are jitted; the
+metric math is host numpy.  The reference's unseeded-randn classifier
+hidden state (a nondeterminism bug) is replaced by zeros.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gesturediffusion_tpu.eval import metrics as M
+from gesturediffusion_tpu.eval.networks import (
+    MotionDiscriminator,
+    convert_motion_discriminator,
+)
+from gesturediffusion_tpu.utils import logger as log_lib
+
+
+class A2MEvaluation:
+    """GRU-classifier based accuracy/FID/diversity/multimodality."""
+
+    def __init__(
+        self,
+        input_size_raw: int = 72,
+        num_classes: int = 12,
+        classifier_params: Optional[dict] = None,
+        checkpoint_path: Optional[str] = None,
+        seed: int = 0,
+    ):
+        self.input_size_raw = input_size_raw
+        self.num_classes = num_classes
+        self.classifier = MotionDiscriminator(
+            input_size=input_size_raw, hidden_size=128, hidden_layer=2,
+            output_size=num_classes,
+        )
+        self.classifier_fid = MotionDiscriminator(
+            input_size=input_size_raw, hidden_size=128, hidden_layer=2,
+            output_size=num_classes, return_fid_features=True,
+        )
+        if classifier_params is not None:
+            self.params = classifier_params
+        elif checkpoint_path is not None:
+            import torch
+
+            ckpt = torch.load(checkpoint_path, map_location="cpu",
+                              weights_only=False)
+            sd = {k: v.numpy() for k, v in ckpt["model"].items()}
+            self.params = convert_motion_discriminator(sd)
+        else:
+            x0 = jnp.zeros((2, input_size_raw // 3, 3, 8))
+            self.params = self.classifier.init(
+                jax.random.PRNGKey(seed), x0, jnp.asarray([8, 8])
+            )["params"]
+
+        self._jit_logits = jax.jit(
+            lambda m, l: self.classifier.apply({"params": self.params}, m, l)
+        )
+        self._jit_feats = jax.jit(
+            lambda m, l: self.classifier_fid.apply({"params": self.params}, m, l)
+        )
+
+    # ---------------------------------------------------------------- #
+    def calculate_accuracy(self, batches) -> float:
+        confusion = np.zeros((self.num_classes, self.num_classes), np.int64)
+        for batch in batches:
+            logits = np.asarray(
+                self._jit_logits(
+                    jnp.asarray(batch["output_xyz"]),
+                    jnp.asarray(batch["lengths"]),
+                )
+            )
+            pred = logits.argmax(-1)
+            for label, p in zip(np.asarray(batch["y"]), pred):
+                confusion[label, p] += 1
+        return float(np.trace(confusion) / max(np.sum(confusion), 1))
+
+    def compute_features(self, batches, with_labels=True):
+        feats, labels = [], []
+        for batch in batches:
+            feats.append(
+                np.asarray(
+                    self._jit_feats(
+                        jnp.asarray(batch["output_xyz"]),
+                        jnp.asarray(batch["lengths"]),
+                    )
+                )
+            )
+            if with_labels:
+                labels.append(np.asarray(batch["y"]))
+        feats = np.concatenate(feats, 0)
+        labels = np.concatenate(labels, 0) if with_labels else None
+        return feats, labels
+
+    @staticmethod
+    def diversity_multimodality(
+        activations, labels, num_labels, unconstrained=False, rng=None,
+        diversity_times=200, multimodality_times=20,
+    ):
+        """action2motion diversity + quota-based per-class multimodality."""
+        rng = rng or np.random
+        num_motions = activations.shape[0]
+        first = rng.randint(0, num_motions, diversity_times)
+        second = rng.randint(0, num_motions, diversity_times)
+        diversity = float(
+            np.linalg.norm(
+                activations[first] - activations[second], axis=1
+            ).mean()
+        )
+
+        if unconstrained or labels is None:
+            return diversity, float("nan")
+
+        multimodality = 0.0
+        label_quotas = np.zeros(num_labels)
+        label_quotas[np.unique(labels)] = multimodality_times
+        guard = 0
+        while np.any(label_quotas > 0) and guard < 10_000_000:
+            guard += 1
+            first_idx = rng.randint(0, num_motions)
+            first_label = labels[first_idx]
+            if not label_quotas[first_label]:
+                continue
+            second_idx = rng.randint(0, num_motions)
+            while labels[second_idx] != first_label:
+                second_idx = rng.randint(0, num_motions)
+            label_quotas[first_label] -= 1
+            multimodality += np.linalg.norm(
+                activations[first_idx] - activations[second_idx]
+            )
+        multimodality /= multimodality_times * num_labels
+        return diversity, float(multimodality)
+
+    def evaluate(self, loaders: dict, cond_mode: str = "action") -> dict:
+        metrics: dict = {}
+        computed = {}
+        for key, batches in loaders.items():
+            batches = list(batches)
+            if cond_mode != "no_cond":
+                metrics[f"accuracy_{key}"] = self.calculate_accuracy(batches)
+            else:
+                metrics[f"accuracy_{key}"] = float("nan")
+            feats, labels = self.compute_features(
+                batches, with_labels=cond_mode != "no_cond"
+            )
+            stats = M.calculate_activation_statistics(feats)
+            computed[key] = {"feats": feats, "labels": labels, "stats": stats}
+            div, mm = self.diversity_multimodality(
+                feats, labels, self.num_classes,
+                unconstrained=cond_mode == "no_cond",
+            )
+            metrics[f"diversity_{key}"] = div
+            metrics[f"multimodality_{key}"] = mm
+
+        gt_mu, gt_cov = computed["gt"]["stats"]
+        for key in computed:
+            mu, cov = computed[key]["stats"]
+            metrics[f"fid_{key}"] = M.calculate_frechet_distance(
+                gt_mu, gt_cov, mu, cov
+            )
+        return metrics
+
+
+class STGCNA2MEvaluation(A2MEvaluation):
+    """UESTC evaluation: ST-GCN classifier on rot6d joint features
+    (reference: eval/a2m/stgcn_eval.py + eval/a2m/stgcn/evaluate.py —
+    in_channels=6, layout 'smpl', 10-block recognition variant; the
+    classifier consumes batch['output'][:, :-1], i.e. rotations without
+    the translation row)."""
+
+    def __init__(
+        self,
+        num_classes: int = 40,
+        in_channels: int = 6,
+        variables: Optional[dict] = None,
+        checkpoint_path: Optional[str] = None,
+        seed: int = 0,
+    ):
+        from gesturediffusion_tpu.eval.stgcn import STGCN, convert_stgcn
+
+        self.num_classes = num_classes
+        self.model = STGCN(
+            in_channels=in_channels, num_class=num_classes, layout="smpl",
+            strategy="spatial", edge_importance_weighting=True,
+            variant="recognition",
+        )
+        if variables is not None:
+            self.variables = variables
+        elif checkpoint_path is not None:
+            import torch
+
+            sd = torch.load(checkpoint_path, map_location="cpu",
+                            weights_only=False)
+            if isinstance(sd, dict) and "model" in sd:
+                sd = sd["model"]
+            self.variables = convert_stgcn(
+                {k: v.numpy() for k, v in sd.items()}
+            )
+        else:
+            x0 = jnp.zeros((2, in_channels, 16, 24))
+            self.variables = self.model.init(jax.random.PRNGKey(seed), x0)
+
+        def fwd(batch_rot):  # [B, 24, 6, T] -> [B, 6, T, 24]
+            x = batch_rot.transpose(0, 2, 3, 1)
+            return self.model.apply(self.variables, x, return_features=True)
+
+        self._jit_fwd = jax.jit(fwd)
+
+    def calculate_accuracy(self, batches) -> float:
+        confusion = np.zeros((self.num_classes, self.num_classes), np.int64)
+        for batch in batches:
+            logits, _ = self._jit_fwd(jnp.asarray(batch["output_rot"]))
+            pred = np.asarray(logits).argmax(-1)
+            for label, p in zip(np.asarray(batch["y"]), pred):
+                confusion[label, p] += 1
+        return float(np.trace(confusion) / max(np.sum(confusion), 1))
+
+    def compute_features(self, batches, with_labels=True):
+        feats, labels = [], []
+        for batch in batches:
+            _, f = self._jit_fwd(jnp.asarray(batch["output_rot"]))
+            feats.append(np.asarray(f))
+            if with_labels:
+                labels.append(np.asarray(batch["y"]))
+        feats = np.concatenate(feats, 0)
+        labels = np.concatenate(labels, 0) if with_labels else None
+        return feats, labels
+
+
+def make_generated_batches(
+    sample_fn: Callable,
+    fk_fn: Callable,
+    dataset,
+    num_samples: int,
+    batch_size: int,
+    num_frames: int,
+    seed: int = 0,
+) -> list[dict]:
+    """NewDataloader('gen') equivalent: sample -> FK -> classifier batches."""
+    from gesturediffusion_tpu.data.a2m import collate_a2m
+
+    rng = jax.random.PRNGKey(seed)
+    batches = []
+    n = min(num_samples, len(dataset))
+    for lo in range(0, n - batch_size + 1, batch_size):
+        items = [dataset[i] for i in range(lo, lo + batch_size)]
+        motion, cond = collate_a2m(items, max_frames=num_frames)
+        dcond = {
+            "mask": jnp.asarray(cond["mask"]),
+            "lengths": jnp.asarray(cond["lengths"]),
+            "action": jnp.asarray(cond["action"]),
+        }
+        rng, srng = jax.random.split(rng)
+        sample = sample_fn(srng, motion.shape, dcond)
+        xyz = fk_fn(sample)
+        batches.append(
+            {
+                "output_xyz": np.asarray(xyz),
+                # rotations minus the translation row (STGCN eval input)
+                "output_rot": np.asarray(sample)[:, :-1],
+                "lengths": cond["lengths"],
+                "y": cond["action"],
+            }
+        )
+    return batches
+
+
+def make_gt_batches(
+    fk_fn: Callable, dataset, num_samples: int, batch_size: int,
+    num_frames: int,
+) -> list[dict]:
+    from gesturediffusion_tpu.data.a2m import collate_a2m
+
+    batches = []
+    n = min(num_samples, len(dataset))
+    for lo in range(0, n - batch_size + 1, batch_size):
+        items = [dataset[i] for i in range(lo, lo + batch_size)]
+        motion, cond = collate_a2m(items, max_frames=num_frames)
+        xyz = fk_fn(jnp.asarray(motion))
+        batches.append(
+            {
+                "output_xyz": np.asarray(xyz),
+                "output_rot": motion[:, :-1],
+                "lengths": cond["lengths"],
+                "y": cond["action"],
+            }
+        )
+    return batches
+
+
+def evaluate_humanact12(
+    sample_fn,
+    fk_fn,
+    dataset,
+    evaluation: A2MEvaluation,
+    num_seeds: int = 20,
+    num_samples: int = 1000,
+    batch_size: int = 64,
+    num_frames: int = 60,
+    cond_mode: str = "action",
+    log=print,
+) -> dict:
+    """Multi-seed evaluation loop (reference: gru_eval.py:76-102)."""
+    all_metrics: dict = {}
+    for seed in range(num_seeds):
+        dataset.reset_shuffle()
+        dataset.shuffle()
+        gt_batches = make_gt_batches(
+            fk_fn, dataset, num_samples, batch_size, num_frames
+        )
+        gen_batches = make_generated_batches(
+            sample_fn, fk_fn, dataset, num_samples, batch_size, num_frames,
+            seed=seed,
+        )
+        metrics = evaluation.evaluate(
+            {"gt": gt_batches, "gen": gen_batches}, cond_mode=cond_mode
+        )
+        log(f"[seed {seed}] {metrics}")
+        for k, v in metrics.items():
+            all_metrics.setdefault(k, []).append(v)
+    summary = {}
+    for k, values in all_metrics.items():
+        mean, conf = M.get_metric_statistics(np.asarray(values), num_seeds)
+        summary[k] = float(mean)
+        summary[f"{k}_conf"] = float(conf)
+    return summary
+
+
+def save_metrics(path: str, metrics: dict) -> None:
+    """YAML metric dump (reference: eval/a2m/tools.py:11)."""
+    import yaml
+
+    with open(path, "w") as f:
+        yaml.safe_dump(metrics, f)
+
+
+EVAL_MODES_A2M = {
+    # reference: eval_humanact12_uestc.py:58-63
+    "debug": dict(num_seeds=2, num_samples=64),
+    "full": dict(num_seeds=20, num_samples=1000),
+}
+
+
+def main(argv=None):
+    from gesturediffusion_tpu.data.a2m import HumanAct12Poses
+    from gesturediffusion_tpu.diffusion.sampling import p_sample_loop
+    from gesturediffusion_tpu.models.cfg import classifier_free_guidance
+    from gesturediffusion_tpu.models.rotation2xyz import rotation2xyz
+    from gesturediffusion_tpu.models.smpl import load_smpl_pickle
+    from gesturediffusion_tpu.utils.cache import enable_compilation_cache
+    from gesturediffusion_tpu.utils.checkpoint import load_checkpoint
+    from gesturediffusion_tpu.utils.fixseed import fixseed
+    from gesturediffusion_tpu.utils.model_factory import (
+        create_model_and_diffusion,
+    )
+    from gesturediffusion_tpu.utils.parser import evaluation_parser
+
+    args = evaluation_parser(argv)
+    fixseed(args.seed)
+    enable_compilation_cache()
+    mode = EVAL_MODES_A2M[args.eval_mode if args.eval_mode in EVAL_MODES_A2M
+                          else "debug"]
+
+    dataset = HumanAct12Poses(
+        args.data_dir or "dataset/HumanAct12Poses",
+        num_frames=60, pose_rep="rot6d", split="test",
+    )
+    model, diffusion = create_model_and_diffusion(args, dataset)
+    params = load_checkpoint(args.model_path)["params"]
+
+    smpl_path = os.environ.get(
+        "SMPL_MODEL_PATH", "body_models/smpl/SMPL_NEUTRAL.pkl"
+    )
+    smpl = load_smpl_pickle(smpl_path)
+
+    def base_model_fn(x, t, c):
+        return model.apply(params, x, t, c)
+
+    model_fn = (
+        classifier_free_guidance(base_model_fn, args.cond_mask_prob)
+        if args.guidance_param != 1
+        else base_model_fn
+    )
+
+    from functools import partial
+
+    @partial(jax.jit, static_argnums=1)
+    def sample_fn(rng, shape, cond):
+        if args.guidance_param != 1:
+            cond = {**cond, "scale": jnp.full(
+                (shape[0],), args.guidance_param)}
+        return p_sample_loop(
+            diffusion, model_fn, shape, rng, cond, clip_denoised=False
+        )
+
+    @jax.jit
+    def fk_fn(sample):
+        return rotation2xyz(
+            smpl, sample, pose_rep="rot6d", translation=True, glob=True,
+            jointstype="smpl", vertstrans=True,
+        )
+
+    evaluation = A2MEvaluation(
+        checkpoint_path=os.environ.get(
+            "A2M_CLASSIFIER_PATH", "assets/actionrecognition/humanact12_gru.tar"
+        )
+        if os.path.exists(
+            os.environ.get("A2M_CLASSIFIER_PATH",
+                           "assets/actionrecognition/humanact12_gru.tar")
+        )
+        else None,
+    )
+    summary = evaluate_humanact12(
+        sample_fn, fk_fn, dataset, evaluation,
+        num_seeds=mode["num_seeds"], num_samples=mode["num_samples"],
+        batch_size=args.batch_size,
+        cond_mode="no_cond" if args.unconstrained else "action",
+        log=log_lib.log,
+    )
+    out = os.path.join(
+        os.path.dirname(args.model_path),
+        f"eval_humanact12_{args.eval_mode}.yaml",
+    )
+    save_metrics(out, summary)
+    log_lib.log(f"saved metrics to {out}")
+    return summary
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

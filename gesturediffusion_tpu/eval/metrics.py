@@ -98,21 +98,34 @@ def calculate_frechet_distance(mu1, sigma1, mu2, sigma2, eps=1e-6) -> float:
     assert mu1.shape == mu2.shape and sigma1.shape == sigma2.shape
 
     diff = mu1 - mu2
-    covmean = linalg.sqrtm(sigma1.dot(sigma2))
-    if not np.isfinite(covmean).all():
-        offset = np.eye(sigma1.shape[0]) * eps
-        covmean = linalg.sqrtm((sigma1 + offset).dot(sigma2 + offset))
-    if np.iscomplexobj(covmean):
-        if not np.allclose(np.diagonal(covmean).imag, 0, atol=1e-3):
-            raise ValueError(
-                f"Imaginary component {np.max(np.abs(covmean.imag))}"
-            )
-        covmean = covmean.real
+    tr_covmean = None
+    try:
+        covmean = linalg.sqrtm(sigma1.dot(sigma2))
+        if np.iscomplexobj(covmean):
+            if not np.allclose(np.diagonal(covmean).imag, 0, atol=1e-3):
+                raise np.linalg.LinAlgError("large imaginary component")
+            covmean = covmean.real
+        if np.isfinite(covmean).all():
+            tr_covmean = np.trace(covmean)
+    except (np.linalg.LinAlgError, ValueError):
+        pass
+    if tr_covmean is None:
+        # rank-deficient product (scipy sqrtm fails): use the PSD
+        # formulation tr sqrt(s1·s2) = tr sqrt(sqrt(s1)·s2·sqrt(s1)),
+        # computed by eigendecomposition with clipped spectra
+        def sqrtm_psd(mat):
+            vals, vecs = np.linalg.eigh((mat + mat.T) / 2)
+            vals = np.clip(vals, 0, None)
+            return (vecs * np.sqrt(vals)) @ vecs.T
+
+        s1h = sqrtm_psd(sigma1 + np.eye(sigma1.shape[0]) * eps)
+        inner = sqrtm_psd(s1h @ (sigma2 + np.eye(sigma2.shape[0]) * eps) @ s1h)
+        tr_covmean = np.trace(inner)
     return float(
         diff.dot(diff)
         + np.trace(sigma1)
         + np.trace(sigma2)
-        - 2 * np.trace(covmean)
+        - 2 * tr_covmean
     )
 
 

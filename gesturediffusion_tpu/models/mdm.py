@@ -38,7 +38,7 @@ from gesturediffusion_tpu.models.embeddings import (
     rotary_freqs,
 )
 from gesturediffusion_tpu.models.transformer import TransformerEncoder
-from gesturediffusion_tpu.ops.local_attention import local_attention
+from gesturediffusion_tpu.ops.pallas_attention import local_attention_auto
 
 
 class SeedPoseEncoder(nn.Module):
@@ -198,7 +198,7 @@ class MDM(nn.Module):
         drop_rng = (
             self.make_rng("dropout") if train and self.dropout > 0 else None
         )
-        heads = local_attention(
+        heads = local_attention_auto(
             heads,
             heads,
             heads,

@@ -1,0 +1,173 @@
+"""Pallas TPU kernel for causal banded (windowed) local attention.
+
+The MDM-V2 LocalAttention band structure (window W, look_backward 1,
+causal — reference: model/local_attention.py:92-171) maps onto a
+block-banded kernel: queries are processed in chunks of BLOCK_Q (a
+multiple of W), and each chunk only needs keys/values from its own chunk
+and the previous one — O(T·2·BLOCK_Q·D) work instead of O(T²·D).
+
+Grid: (B*H, T // BLOCK_Q).  Per step the kernel holds one query block and
+two aligned KV blocks in VMEM, computes the two banded score tiles on the
+MXU (f32 accumulation), applies the causal+band mask via broadcasted
+iotas, and does a joint softmax over the concatenated band.
+
+For the production gesture shape (T=80, W=10, D=32) a single chunk covers
+the take, so the kernel is one fused softmax-attention per (batch, head).
+The same kernel scales to long sequences by bumping BLOCK_Q to MXU-sized
+tiles — the blockwise structure is exactly the reference's look_around
+layout (SURVEY.md §2.9).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -jnp.finfo(jnp.float32).max
+
+
+def _band_kernel(
+    q_ref, kprev_ref, kcur_ref, vprev_ref, vcur_ref, o_ref,
+    *, window: int, block_q: int, scale: float,
+):
+    i = pl.program_id(1)
+
+    q = q_ref[0]  # [BQ, D]
+    k_prev, k_cur = kprev_ref[0], kcur_ref[0]
+    v_prev, v_cur = vprev_ref[0], vcur_ref[0]
+
+    q_off = i * block_q
+    qpos = q_off + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_q), 0)
+    kpos_cur = q_off + jax.lax.broadcasted_iota(
+        jnp.int32, (block_q, block_q), 1
+    )
+    kpos_prev = kpos_cur - block_q
+
+    def band_mask(qp, kp):
+        # same window or exactly one window back, and causal
+        qw, kw = qp // window, kp // window
+        keep = (qw - kw >= 0) & (qw - kw <= 1) & (kp <= qp)
+        return keep
+
+    sim_prev = jnp.dot(
+        q, k_prev.T, preferred_element_type=jnp.float32
+    ) * scale
+    sim_cur = jnp.dot(q, k_cur.T, preferred_element_type=jnp.float32) * scale
+
+    mask_prev = band_mask(qpos, kpos_prev) & (i > 0)
+    mask_cur = band_mask(qpos, kpos_cur)
+    sim_prev = jnp.where(mask_prev, sim_prev, NEG_INF)
+    sim_cur = jnp.where(mask_cur, sim_cur, NEG_INF)
+
+    # joint softmax over the [BQ, 2*BQ] band
+    m = jnp.maximum(
+        jnp.max(sim_prev, axis=-1, keepdims=True),
+        jnp.max(sim_cur, axis=-1, keepdims=True),
+    )
+    e_prev = jnp.exp(sim_prev - m)
+    e_cur = jnp.exp(sim_cur - m)
+    denom = jnp.sum(e_prev, -1, keepdims=True) + jnp.sum(
+        e_cur, -1, keepdims=True
+    )
+    out = (
+        jnp.dot(e_prev.astype(v_prev.dtype), v_prev,
+                preferred_element_type=jnp.float32)
+        + jnp.dot(e_cur.astype(v_cur.dtype), v_cur,
+                  preferred_element_type=jnp.float32)
+    ) / denom
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("window_size", "block_q", "interpret")
+)
+def local_attention_pallas(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    window_size: int,
+    block_q: int | None = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Causal banded attention (look_backward=1) on TPU via Pallas.
+
+    q, k, v: [B, H, T, D]; T % window_size == 0.  Matches
+    ops.local_attention.local_attention(causal=True, look_backward=1,
+    mask=None, dropout=0).
+    """
+    b, h, t, d = q.shape
+    if t % window_size != 0:
+        raise ValueError(f"T={t} not divisible by window {window_size}")
+    if block_q is None:
+        # biggest chunk <= max(128, window) that divides T and is a
+        # multiple of the window
+        block_q = window_size
+        for cand in range(window_size, t + 1, window_size):
+            if t % cand == 0 and cand <= max(128, window_size):
+                block_q = cand
+    assert t % block_q == 0 and block_q % window_size == 0
+
+    bh = b * h
+    qf = q.reshape(bh, t, d)
+    kf = k.reshape(bh, t, d)
+    vf = v.reshape(bh, t, d)
+
+    grid = (bh, t // block_q)
+
+    def q_map(bi, qi):
+        return (bi, qi, 0)
+
+    def prev_map(bi, qi):
+        return (bi, jnp.maximum(qi - 1, 0), 0)
+
+    kernel = functools.partial(
+        _band_kernel,
+        window=window_size,
+        block_q=block_q,
+        scale=d**-0.5,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), q_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, d), prev_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, d), q_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, d), prev_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, d), q_map, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), q_map,
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bh, t, d), q.dtype),
+        interpret=interpret,
+    )(qf, kf, kf, vf, vf)
+    return out.reshape(b, h, t, d)
+
+
+def local_attention_auto(
+    q, k, v, *, window_size: int, causal: bool = True,
+    look_backward: int = 1, look_forward: int = 0, mask=None,
+    dropout_rate: float = 0.0, dropout_rng=None,
+):
+    """Dispatch: Pallas kernel on TPU for the supported band config,
+    XLA formulation otherwise (CPU tests, dropout, masks, exotic bands)."""
+    from gesturediffusion_tpu.ops.local_attention import local_attention
+
+    on_tpu = jax.default_backend() == "tpu"
+    simple_band = (
+        causal and look_backward == 1 and look_forward == 0
+        and mask is None and dropout_rate == 0.0
+        and q.shape[2] % window_size == 0
+    )
+    if on_tpu and simple_band:
+        return local_attention_pallas(q, k, v, window_size=window_size)
+    return local_attention(
+        q, k, v, window_size=window_size, causal=causal,
+        look_backward=look_backward, look_forward=look_forward, mask=mask,
+        dropout_rate=dropout_rate, dropout_rng=dropout_rng,
+    )

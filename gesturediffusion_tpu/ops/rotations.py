@@ -115,8 +115,12 @@ def axis_angle_to_quaternion(axis_angle: jax.Array) -> jax.Array:
 
     Uses the small-angle Taylor expansion of sin(x/2)/x near zero for
     stability (reference surface: utils/rotation_conversions.py:440).
+    The norm is computed with a clamped sqrt so the gradient at the zero
+    rotation is zero instead of NaN (needed by SMPLify-style fits that
+    initialize poses at identity).
     """
-    angles = jnp.linalg.norm(axis_angle, axis=-1, keepdims=True)
+    sq = jnp.sum(axis_angle * axis_angle, axis=-1, keepdims=True)
+    angles = jnp.sqrt(jnp.maximum(sq, 1e-24))
     half_angles = angles * 0.5
     eps = 1e-6
     small = jnp.abs(angles) < eps
@@ -166,10 +170,15 @@ def rotation_6d_to_matrix(d6: jax.Array) -> jax.Array:
     This is the workhorse conversion of the motion stack (reference surface:
     utils/rotation_conversions.py:513).
     """
+    def safe_normalize(v):
+        # clamped norm: degenerate (near-zero) inputs stay finite instead of
+        # poisoning downstream FK/eval with NaNs
+        sq = jnp.sum(v * v, axis=-1, keepdims=True)
+        return v / jnp.sqrt(jnp.maximum(sq, 1e-12))
+
     a1, a2 = d6[..., :3], d6[..., 3:]
-    b1 = a1 / jnp.linalg.norm(a1, axis=-1, keepdims=True)
-    b2 = a2 - jnp.sum(b1 * a2, axis=-1, keepdims=True) * b1
-    b2 = b2 / jnp.linalg.norm(b2, axis=-1, keepdims=True)
+    b1 = safe_normalize(a1)
+    b2 = safe_normalize(a2 - jnp.sum(b1 * a2, axis=-1, keepdims=True) * b1)
     b3 = jnp.cross(b1, b2)
     return jnp.stack([b1, b2, b3], axis=-2)
 

@@ -1,0 +1,122 @@
+"""Programmatic text-to-motion predictor.
+
+Functional parity surface with the reference Cog/Replicate predictor
+(reference: sample/predict.py:31-167 — hardcoded humanml-encoder-512
+config :31-50, prompt -> collate :106-107, p_sample_loop :113-125,
+recover_from_ric + rot2xyz :127-139, mp4 / HumanIK JSON outputs :143-145).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gesturediffusion_tpu.diffusion import ModelMeanType, create_diffusion
+from gesturediffusion_tpu.diffusion.sampling import p_sample_loop
+from gesturediffusion_tpu.models.cfg import classifier_free_guidance
+from gesturediffusion_tpu.models.mdm_t2m import MotionMDM
+from gesturediffusion_tpu.ops.motion_process import recover_from_ric
+from gesturediffusion_tpu.utils.cache import enable_compilation_cache
+from gesturediffusion_tpu.utils.checkpoint import load_checkpoint
+
+
+class Predictor:
+    """humanml-encoder-512 text-to-motion predictor."""
+
+    def __init__(
+        self,
+        model_path: str,
+        dataset_root: Optional[str] = None,
+        guidance_param: float = 2.5,
+        num_frames: int = 196,
+    ):
+        enable_compilation_cache()
+        self.num_frames = num_frames
+        self.guidance_param = guidance_param
+
+        # hardcoded humanml-encoder-512 config (reference: predict.py:31-50)
+        self.model = MotionMDM(
+            njoints=263, nfeats=1, latent_dim=512, ff_size=1024,
+            num_layers=8, num_heads=4, cond_mode="text",
+            cond_mask_prob=0.1,
+        )
+        self.diffusion = create_diffusion(
+            steps=1000, noise_schedule="cosine",
+            model_mean_type=ModelMeanType.START_X,
+        )
+        self.params = load_checkpoint(model_path)["params"]
+
+        root = dataset_root or "./dataset/HumanML3D"
+        mean_p, std_p = (
+            os.path.join(root, "Mean.npy"), os.path.join(root, "Std.npy")
+        )
+        if os.path.isfile(mean_p):
+            self.mean = np.load(mean_p)
+            self.std = np.load(std_p)
+        else:
+            self.mean = np.zeros(263, np.float32)
+            self.std = np.ones(263, np.float32)
+
+        from gesturediffusion_tpu.utils.text_embedder import get_text_encoder
+
+        self.text_encoder = get_text_encoder()
+
+        def base_model_fn(x, t, c):
+            return self.model.apply(self.params, x, t, c)
+
+        model_fn = (
+            classifier_free_guidance(base_model_fn, 0.1)
+            if guidance_param != 1
+            else base_model_fn
+        )
+        self._model_fn = model_fn
+        self._sample = None
+
+    def predict(
+        self,
+        prompt: str,
+        num_repetitions: int = 3,
+        seed: int = 0,
+        motion_length: float = 6.0,
+    ) -> dict:
+        """prompt -> dict(motion [R, 22, 3, T] xyz joints, features, length)."""
+        n_frames = min(self.num_frames, int(motion_length * 20))
+        b = num_repetitions
+        shape = (b, 263, 1, self.num_frames)
+
+        text_emb = jnp.asarray(self.text_encoder([prompt] * b))
+        cond = {
+            "text_emb": text_emb,
+            "mask": jnp.asarray(
+                (np.arange(self.num_frames)[None] < n_frames)[:, None, None, :]
+                .repeat(b, 0)
+            ),
+            "lengths": jnp.full((b,), n_frames, jnp.int32),
+        }
+        if self.guidance_param != 1:
+            cond["scale"] = jnp.full((b,), self.guidance_param)
+
+        if self._sample is None:
+            self._sample = jax.jit(
+                lambda rng, c: p_sample_loop(
+                    self.diffusion, self._model_fn, shape, rng, c,
+                    clip_denoised=False,
+                )
+            )
+        sample = self._sample(jax.random.PRNGKey(seed), cond)
+
+        feats = np.asarray(sample)[:, :, 0, :].transpose(0, 2, 1)
+        feats = feats * self.std + self.mean
+        xyz = np.asarray(
+            recover_from_ric(jnp.asarray(feats, jnp.float32), 22)
+        )  # [R, T, 22, 3]
+        return {
+            "motion_xyz": xyz[:, :n_frames].transpose(0, 2, 3, 1),
+            "features": feats[:, :n_frames],
+            "length": n_frames,
+            "prompt": prompt,
+        }

@@ -206,6 +206,7 @@ class TrainLoop:
         fk_fn: Optional[Callable] = None,
         text_encoder: Optional[Callable] = None,
         args_to_save: Optional[dict] = None,
+        eval_fn: Optional[Callable] = None,
     ):
         self.config = config
         self.diffusion = diffusion
@@ -215,6 +216,9 @@ class TrainLoop:
         self.mesh = mesh if mesh is not None else mesh_lib.make_mesh()
         self.rng = jax.random.PRNGKey(config.seed)
         self.logger = log_lib.configure(config.save_dir)
+        # optional in-training eval hook, called after each checkpoint save
+        # (reference: train/training_loop.py:165-202 evaluate())
+        self.eval_fn = eval_fn
 
         tx = make_optimizer(config)
         sampler = create_named_schedule_sampler(
@@ -333,6 +337,16 @@ class TrainLoop:
 
             if step > 0 and step % cfg.save_interval == 0:
                 self.save()
+                if self.eval_fn is not None:
+                    t_eval = time.time()
+                    metrics = self.eval_fn(self.state, step)
+                    for k, v in (metrics or {}).items():
+                        log_lib.logkv(f"eval/{k}", float(v))
+                        self.platform.report_scalar(
+                            k, float(v), iteration=step, group_name="Eval"
+                        )
+                    log_lib.logkv("eval/wall_s", time.time() - t_eval)
+                    log_lib.dumpkvs()
                 if os.environ.get("DIFFUSION_TRAINING_TEST", ""):
                     return
         self.save()

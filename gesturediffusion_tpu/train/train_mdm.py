@@ -64,6 +64,28 @@ def main(argv=None):
     def apply_fn(p, x, t, c, rngs=None):
         return model.apply(p, x, t, c, train=True, rngs=rngs)
 
+    text_encoder = None
+    if args.dataset in ("humanml", "kit") and not args.unconstrained:
+        from gesturediffusion_tpu.utils.text_embedder import get_text_encoder
+
+        text_encoder = get_text_encoder()
+        dcond["text_emb"] = jnp.asarray(text_encoder(cond["text"]))
+        params = model.init(jax.random.PRNGKey(args.seed), x0, t0, dcond)
+
+    fk_fn = None
+    if args.lambda_rcxyz > 0 or args.lambda_fc > 0:
+        from gesturediffusion_tpu.models.rotation2xyz import rotation2xyz
+        from gesturediffusion_tpu.models.smpl import load_smpl_pickle
+
+        smpl = load_smpl_pickle(
+            os.environ.get("SMPL_MODEL_PATH",
+                           "body_models/smpl/SMPL_NEUTRAL.pkl")
+        )
+        fk_fn = lambda sample: rotation2xyz(  # noqa: E731
+            smpl, sample, pose_rep="rot6d", translation=True, glob=True,
+            jointstype="smpl", vertstrans=False,
+        )
+
     config = TrainConfig(
         save_dir=args.save_dir,
         lr=args.lr,
@@ -87,6 +109,8 @@ def main(argv=None):
         data,
         mesh=mesh,
         platform=train_platform,
+        fk_fn=fk_fn,
+        text_encoder=text_encoder,
         args_to_save=vars(args),
     )
     if args.resume_checkpoint:

@@ -102,6 +102,7 @@ class TestTrainStep:
         loop.state, _ = loop.train_step(
             loop.state, jnp.asarray(motion), dcond, loop.rng
         )
+        loop.host_step = 1  # run_loop does this bookkeeping
         path = loop.save()
 
         loop2 = tiny_setup(tmp_path, num_steps=3)
