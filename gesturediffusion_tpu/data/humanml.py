@@ -277,6 +277,137 @@ class Text2MotionDatasetV2:
         return out
 
 
+class MotionDatasetV2:
+    """Motion-only windows for movement-encoder pretraining
+    (reference: dataset.py:503)."""
+
+    def __init__(self, root: str, split: str = "train",
+                 window_size: int = 64, rng: Optional[random.Random] = None):
+        self.window_size = window_size
+        self.rng = rng or random.Random(0)
+        self.mean = np.load(pjoin(root, "Mean.npy"))
+        self.std = np.load(pjoin(root, "Std.npy"))
+        motion_dir = pjoin(root, "new_joint_vecs")
+        with open(pjoin(root, f"{split}.txt")) as f:
+            id_list = [line.strip() for line in f if line.strip()]
+        self.data, self.lengths = [], []
+        for name in id_list:
+            try:
+                motion = np.load(pjoin(motion_dir, name + ".npy"))
+            except FileNotFoundError:
+                continue
+            if motion.shape[0] < window_size:
+                continue
+            self.lengths.append(motion.shape[0] - window_size)
+            self.data.append(motion)
+        self.cumsum = np.cumsum([0] + self.lengths)
+
+    def inv_transform(self, data):
+        return data * self.std + self.mean
+
+    def __len__(self):
+        return int(self.cumsum[-1])
+
+    def __getitem__(self, item):
+        if item != 0:
+            motion_id = int(np.searchsorted(self.cumsum, item) - 1)
+            idx = item - self.cumsum[motion_id] - 1
+        else:
+            motion_id, idx = 0, 0
+        motion = self.data[motion_id][idx : idx + self.window_size]
+        return {"motion": ((motion - self.mean) / self.std).astype(np.float32),
+                "length": self.window_size}
+
+
+class Text2MotionDatasetBaseline(Text2MotionDatasetV2):
+    """Variant feeding the Guo baseline generator: adds a cropped source
+    motion at max_length (reference: dataset.py:349)."""
+
+    def __getitem__(self, item):
+        out = super().__getitem__(item)
+        motion = out["motion"]
+        m_length = out["length"]
+        if m_length >= self.max_length:
+            src = motion[: self.max_length]
+        else:
+            src = motion[:m_length]
+            pad = np.zeros(
+                (self.max_length - m_length, motion.shape[1]), np.float32
+            )
+            src = np.concatenate([src, pad], axis=0)
+        out["src_motion"] = src.astype(np.float32)
+        return out
+
+
+class RawTextDataset:
+    """User prompts from a text file, POS-tagged for the evaluators
+    (reference: dataset.py:576 — spacy tagging; falls back to OTHER tags
+    when spacy/models are unavailable)."""
+
+    def __init__(self, text_file: str, mean=None, std=None,
+                 w_vectorizer=None, max_text_len: int = 20):
+        self.mean, self.std = mean, std
+        self.w_vectorizer = w_vectorizer
+        self.max_text_len = max_text_len
+        try:
+            import spacy
+
+            self.nlp = spacy.load("en_core_web_sm")
+        except Exception:
+            self.nlp = None
+        self.data_dict = []
+        with open(text_file) as f:
+            for line in f:
+                caption = line.strip()
+                if not caption:
+                    continue
+                tokens = self.process_text(caption)
+                self.data_dict.append(
+                    {"caption": caption,
+                     "tokens": [f"{w}/{p}" for w, p in tokens]}
+                )
+
+    def process_text(self, sentence: str):
+        sentence = sentence.replace("-", "")
+        if self.nlp is None:
+            return [(w, "OTHER") for w in sentence.lower().split()]
+        doc = self.nlp(sentence)
+        out = []
+        for token in doc:
+            word = token.text
+            if not word.isalpha():
+                continue
+            if token.pos_ in ("NOUN", "VERB") and word != "left":
+                out.append((token.lemma_, token.pos_))
+            else:
+                out.append((word, token.pos_))
+        return out
+
+    def __len__(self):
+        return len(self.data_dict)
+
+    def __getitem__(self, item):
+        entry = self.data_dict[item]
+        out = {"text": entry["caption"], "tokens": "_".join(entry["tokens"])}
+        if self.w_vectorizer is not None:
+            tokens = entry["tokens"]
+            if len(tokens) < self.max_text_len:
+                tokens = ["sos/OTHER"] + tokens + ["eos/OTHER"]
+                sent_len = len(tokens)
+                tokens = tokens + ["unk/OTHER"] * (
+                    self.max_text_len + 2 - sent_len
+                )
+            else:
+                tokens = tokens[: self.max_text_len]
+                tokens = ["sos/OTHER"] + tokens + ["eos/OTHER"]
+                sent_len = len(tokens)
+            embs, ohs = zip(*(self.w_vectorizer[t] for t in tokens))
+            out["word_embeddings"] = np.stack(embs).astype(np.float32)
+            out["pos_one_hots"] = np.stack(ohs).astype(np.float32)
+            out["sent_len"] = sent_len
+        return out
+
+
 class TextOnlyDataset:
     """Caption-only dataset for generation without mocap
     (reference: dataset.py:641)."""

@@ -57,3 +57,29 @@ def shard_batch(mesh: Mesh, batch):
 def replicate(mesh: Mesh, tree):
     sh = replicated(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+
+
+def shard_params_tp(
+    params, mesh: Mesh, min_size: int = 1 << 16
+) -> "jax.tree_util.PyTreeDef":
+    """Opt-in tensor parallelism: shard large Dense kernels over 'model'.
+
+    2-D kernels [in, out] shard the output dim; everything else (biases,
+    norms, small tables) stays replicated.  GSPMD then propagates the
+    layouts through the jitted train/sample steps and inserts the
+    all-reduces — no model-code changes (the scaling-book recipe: pick a
+    mesh, annotate shardings, let XLA place collectives).
+    """
+    tp = mesh.shape["model"]
+
+    def place(x):
+        if (
+            hasattr(x, "ndim")
+            and x.ndim == 2
+            and x.size >= min_size
+            and x.shape[1] % tp == 0
+        ):
+            return jax.device_put(x, NamedSharding(mesh, P(None, "model")))
+        return jax.device_put(x, replicated(mesh))
+
+    return jax.tree_util.tree_map(place, params)

@@ -322,6 +322,14 @@ class TrainLoop:
 
             if step % cfg.log_interval == 0:
                 metrics = jax.device_get(metrics)
+                if not np.isfinite(float(metrics["loss"])):
+                    # halt rather than burn steps on a poisoned state; the
+                    # latest checkpoint is the recovery point
+                    self.save()
+                    raise FloatingPointError(
+                        f"non-finite loss at step {step}: "
+                        f"{float(metrics['loss'])} — checkpoint saved"
+                    )
                 for k, v in metrics.items():
                     log_lib.logkv_mean(k, float(v))
                     if k in ("loss",):

@@ -230,3 +230,37 @@ class TestBVH:
         sk = make_default_skeleton(4)
         assert len(sk.joints[0].channels) == 6
         assert all(len(jnt.channels) == 3 for jnt in sk.joints[1:])
+
+
+class TestHumanMLVariants:
+    def test_motion_dataset_v2(self, hml_root):
+        from gesturediffusion_tpu.data.humanml import MotionDatasetV2
+
+        ds = MotionDatasetV2(hml_root, split="train", window_size=32)
+        assert len(ds) > 0
+        item = ds[0]
+        assert item["motion"].shape == (32, 67)
+
+    def test_baseline_dataset(self, hml_root):
+        from gesturediffusion_tpu.data.humanml import (
+            Text2MotionDatasetBaseline,
+        )
+
+        ds = Text2MotionDatasetBaseline(hml_root, split="train")
+        item = ds[0]
+        assert "src_motion" in item
+        assert item["src_motion"].shape[0] == ds.max_length
+
+    def test_raw_text_dataset(self, hml_root, tmp_path):
+        from gesturediffusion_tpu.data.humanml import (
+            HashVectorizer,
+            RawTextDataset,
+        )
+
+        tf = tmp_path / "prompts.txt"
+        tf.write_text("a person walks forward\na person waves both hands\n")
+        ds = RawTextDataset(str(tf), w_vectorizer=HashVectorizer())
+        assert len(ds) == 2
+        item = ds[0]
+        assert item["word_embeddings"].shape == (22, 300)
+        assert item["text"] == "a person walks forward"
