@@ -21,10 +21,18 @@ import jax.numpy as jnp
 
 
 class MultiheadSelfAttention(nn.Module):
-    """Packed-QKV multihead self-attention (torch MultiheadAttention layout)."""
+    """Packed-QKV multihead self-attention (torch MultiheadAttention layout).
+
+    `use_fused_kernel` opts into the Pallas attention kernel
+    (ops/pallas_flash.py).  Off by default: at the production shapes
+    (T<=200, d_head 128) XLA's own fusion measured faster on v5e; the
+    kernel exists for long-sequence configs where the [B,H,T,T] score
+    tensor dominates HBM traffic.
+    """
 
     num_heads: int
     dropout: float = 0.0
+    use_fused_kernel: bool = False
 
     @nn.compact
     def __call__(
@@ -45,14 +53,28 @@ class MultiheadSelfAttention(nn.Module):
             return y.reshape(b, t, self.num_heads, dh).transpose(0, 2, 1, 3)
 
         q, k, v = heads(q), heads(k), heads(v)
-        sim = jnp.einsum(
-            "bhid,bhjd->bhij", q, k, preferred_element_type=jnp.float32
-        ) * (dh**-0.5)
-        if mask is not None:
-            sim = jnp.where(mask, sim, -jnp.finfo(jnp.float32).max)
-        attn = jax.nn.softmax(sim, axis=-1).astype(x.dtype)
-        attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
-        out = jnp.einsum("bhij,bhjd->bhid", attn, v)
+
+        use_fused = (
+            self.use_fused_kernel
+            and jax.default_backend() == "tpu"
+            and mask is None
+            and (deterministic or self.dropout == 0.0)
+        )
+        if use_fused:
+            from gesturediffusion_tpu.ops.pallas_flash import (
+                fused_self_attention,
+            )
+
+            out = fused_self_attention(q, k, v)
+        else:
+            sim = jnp.einsum(
+                "bhid,bhjd->bhij", q, k, preferred_element_type=jnp.float32
+            ) * (dh**-0.5)
+            if mask is not None:
+                sim = jnp.where(mask, sim, -jnp.finfo(jnp.float32).max)
+            attn = jax.nn.softmax(sim, axis=-1).astype(x.dtype)
+            attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
+            out = jnp.einsum("bhij,bhjd->bhid", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(b, t, d)
         return nn.Dense(d, name="out_proj")(out)
 
