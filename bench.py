@@ -27,7 +27,66 @@ import numpy as np
 REFERENCE_SAMPLES_PER_SEC = 1.2  # derived from README.md:379 wall-clock
 
 
+def bench_gesture():
+    """Secondary config (GDT_BENCH_CONFIG=gesture): MDM-V2 chunked-AR
+    gesture throughput — 1000-step DDPM + CFG per 80-frame chunk with
+    seed hand-off, the fork's production path (sample/generate.py:91-130).
+    Reports chunks/sec/chip."""
+    import numpy as np
+
+    from gesturediffusion_tpu.diffusion import ModelMeanType, create_diffusion
+    from gesturediffusion_tpu.diffusion.sampling import p_sample_loop
+    from gesturediffusion_tpu.models.cfg import classifier_free_guidance
+    from gesturediffusion_tpu.models.mdm import MDM
+    from gesturediffusion_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    B, J, T, S = 41, 498, 80, 10  # 41 takes per chunk (reference layout)
+    model = MDM(njoints=J, latent_dim=256, num_layers=8, ff_size=1024,
+                seed_poses=S, cond_mask_prob=0.1)
+    diffusion = create_diffusion(
+        steps=1000, model_mean_type=ModelMeanType.START_X
+    )
+    rs = np.random.RandomState(0)
+    x0 = jnp.asarray(rs.randn(B, J, 1, T), jnp.float32)
+    cond = {
+        "mfcc": jnp.asarray(rs.randn(B, 26, 1, T), jnp.float32),
+        "seed": jnp.asarray(rs.randn(B, J, 1, S), jnp.float32),
+        "scale": jnp.full((B,), 2.5, jnp.float32),
+    }
+    params = model.init(
+        jax.random.PRNGKey(0), x0, jnp.zeros((B,), jnp.int32),
+        {k: v for k, v in cond.items() if k != "scale"},
+    )
+    model_fn = classifier_free_guidance(
+        lambda x, t, c: model.apply(params, x, t, c), 0.1
+    )
+
+    @jax.jit
+    def chunk(rng, c):
+        return p_sample_loop(diffusion, model_fn, (B, J, 1, T), rng, c)
+
+    out = jax.block_until_ready(chunk(jax.random.PRNGKey(0), cond))
+    n_chunks = 3
+    t0 = time.perf_counter()
+    for i in range(n_chunks):
+        # autoregressive seed hand-off between chunks
+        c = dict(cond, seed=out[..., -S:])
+        out = chunk(jax.random.PRNGKey(i + 1), c)
+    jax.block_until_ready(out)
+    elapsed = time.perf_counter() - t0
+    takes_sec = B * n_chunks / elapsed
+    print(json.dumps({
+        "metric": "genea_ddpm1000_cfg_take_chunks_per_sec_per_chip",
+        "value": round(takes_sec / jax.device_count(), 4),
+        "unit": "80-frame chunks/sec/chip",
+        "vs_baseline": round(takes_sec / jax.device_count() / 1.2, 3),
+    }))
+
+
 def main():
+    if os.environ.get("GDT_BENCH_CONFIG", "humanml") == "gesture":
+        return bench_gesture()
     from gesturediffusion_tpu.diffusion import ModelMeanType, create_diffusion
     from gesturediffusion_tpu.diffusion.sampling import p_sample_loop
     from gesturediffusion_tpu.models.cfg import classifier_free_guidance

@@ -157,14 +157,25 @@ class Genea2023:
         return feats
 
     def _window_mfcc(self, file_idx: int, sample: int) -> np.ndarray:
-        """Per-window MFCC identical to computing on the audio chunk.
+        """MFCCs for one window.
 
-        The reference computes MFCC on the exact audio slice; since window
-        starts are multiples of the hop (step*sr/fps = k*hop), take-level
-        frames align exactly with chunk-level frames except possibly the
-        last frames touching the chunk boundary — so we recompute the exact
-        chunk (cheap: 80 frames) unless cache alignment holds.
+        With ``use_mfcc_cache`` (default): slice the take-level cached
+        features — window starts are exact hop multiples
+        (step*sr/fps = k*hop), so frames align with chunk-computed ones
+        except for pre-emphasis/padding edge effects at the chunk
+        boundaries.  With the cache off: recompute on the exact audio
+        chunk, bit-matching the reference's per-item DSP
+        (dataset.py:81-95).
         """
+        if self.use_mfcc_cache:
+            take_feats = self._take_mfcc(file_idx)
+            lo = sample * self.step
+            feats = take_feats[lo : lo + self.window]
+            if feats.shape[0] < self.window:
+                feats = np.pad(
+                    feats, ((0, self.window - feats.shape[0]), (0, 0))
+                )
+            return feats
         audio = np.asarray(self._audio(file_idx))
         i = int(sample * self.sr * self.step / self.fps)
         chunk = audio[i : int(i + self.window * self.sr / self.fps)]

@@ -118,6 +118,65 @@ def make_synthetic_genea2023(
     return root
 
 
+def make_synthetic_genea2022(
+    root: str,
+    *,
+    n_takes: int = 3,
+    frames_per_take: int = 400,
+    pose_dim: int = 498,
+    fps: int = 30,
+    sr: int = 22050,
+    seed: int = 0,
+) -> str:
+    """Create a synthetic Genea2022-layout dataset under `root`
+    (reference layout: data_loaders/gesture/data/dataset.py:129-162)."""
+    rng = np.random.RandomState(seed)
+    os.makedirs(os.path.join(root, "motion_npy"), exist_ok=True)
+    os.makedirs(os.path.join(root, "audio_npy"), exist_ok=True)
+    os.makedirs(os.path.join(root, "tsv"), exist_ok=True)
+
+    frames, names = [], []
+    for k in range(n_takes):
+        name = f"take_{k:03d}"
+        names.append(name)
+        frames.append(frames_per_take)
+        motion = np.cumsum(
+            rng.randn(frames_per_take, pose_dim).astype(np.float32) * 0.05, 0
+        )
+        np.save(os.path.join(root, "motion_npy", name + ".npy"), motion)
+        n_samples = int(frames_per_take * sr / fps)
+        tgrid = np.arange(n_samples) / sr
+        audio = np.sin(2 * np.pi * 440 * tgrid).astype(np.float32) * 0.1
+        np.save(os.path.join(root, "audio_npy", name + ".npy"), audio)
+        with open(os.path.join(root, "tsv", name + ".tsv"), "w") as f:
+            t0 = 0.0
+            while t0 < frames_per_take / fps - 0.5:
+                f.write(f"{t0:.3f}\t{t0 + 0.3:.3f}\thello\n")
+                t0 += 0.5
+
+    np.save(os.path.join(root, "frames.npy"), np.asarray(frames, np.int64))
+    cat = np.concatenate(
+        [np.load(os.path.join(root, "motion_npy", n + ".npy")) for n in names]
+    )
+    np.save(os.path.join(root, "Mean.npy"), cat.mean(0).astype(np.float32))
+    np.save(os.path.join(root, "Std.npy"), cat.std(0).astype(np.float32))
+    mfccs = np.concatenate(
+        [
+            mfcc_fn(np.load(os.path.join(root, "audio_npy", n + ".npy")),
+                    samplerate=sr, winstep=1.0 / fps)
+            for n in names
+        ]
+    )
+    np.save(os.path.join(root, "mfccs_Mean.npy"),
+            mfccs.mean(0).astype(np.float32))
+    np.save(os.path.join(root, "mfccs_Std.npy"),
+            np.where(mfccs.std(0) == 0, 1, mfccs.std(0)).astype(np.float32))
+    with open(os.path.join(root, "trn_2022_v1_metadata.csv"), "w") as f:
+        for name in names:
+            f.write(f"{name},spk0\n")
+    return root
+
+
 class SyntheticGesture:
     """In-memory synthetic gesture dataset (no disk IO) for bench/dryrun."""
 

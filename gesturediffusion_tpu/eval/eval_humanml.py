@@ -98,7 +98,10 @@ class GeneratedMotionSet:
         mm_num_samples: int = 0,
         mm_num_repeats: int = 0,
         scale: float = 1.0,
-        renorm: Optional[tuple[np.ndarray, np.ndarray]] = None,
+        # (our_mean, our_std, eval_mean, eval_std): convert generated
+        # motions from the training normalization to the frozen
+        # evaluator's convention (reference: comp_v6_model_dataset.py:246)
+        renorm: Optional[tuple] = None,
         seed: int = 0,
     ):
         self.batches = []

@@ -13,6 +13,7 @@ import sys
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from gesturediffusion_tpu.data.collate import device_cond
 from gesturediffusion_tpu.data.registry import get_dataset_loader
@@ -100,6 +101,56 @@ def main(argv=None):
         use_bf16=args.use_bf16,
         seed=args.seed,
     )
+    eval_fn = None
+    if args.eval_during_training:
+        # validation diffusion loss over a fixed batch set with fixed RNG
+        # (reference runs the full benchmark eval here,
+        # training_loop.py:165-202; metric evals need external assets, so
+        # the always-available signal is val loss)
+        try:
+            val_data = get_dataset_loader(
+                name=args.dataset, batch_size=args.eval_batch_size,
+                num_frames=args.num_frames,
+                split="val" if args.dataset != "synthetic" else "train",
+                datapath=args.data_dir or None,
+                n_seed_poses=args.seed_poses, seed=args.seed + 1,
+            )
+            val_batches = []
+            for i, (vm, vc) in enumerate(val_data):
+                if i >= args.eval_num_samples // args.eval_batch_size + 1:
+                    break
+                val_batches.append(
+                    (jnp.asarray(vm),
+                     {k: jnp.asarray(v)
+                      for k, v in device_cond(vc).items()})
+                )
+
+            @jax.jit
+            def val_loss(params, motion, cond, rng):
+                t = jax.random.randint(
+                    jax.random.fold_in(rng, 0), (motion.shape[0],), 0,
+                    diffusion.num_timesteps,
+                )
+                noise = jax.random.normal(
+                    jax.random.fold_in(rng, 1), motion.shape
+                )
+                terms = diffusion.training_losses(
+                    lambda x, tt, c: model.apply(params, x, tt, c),
+                    motion, t, cond, mask=cond["mask"], noise=noise,
+                )
+                return jnp.mean(terms["loss"])
+
+            def eval_fn(state, step):
+                rng = jax.random.PRNGKey(args.seed + 12345)
+                losses = [
+                    float(val_loss(state.params, vm, vc,
+                                   jax.random.fold_in(rng, i)))
+                    for i, (vm, vc) in enumerate(val_batches)
+                ]
+                return {"val_loss": float(np.mean(losses))}
+        except Exception as e:  # val split may not exist
+            log_lib.log(f"eval_during_training disabled: {e}")
+
     mesh = mesh_lib.make_mesh(model=args.mesh_model_axis)
     loop = TrainLoop(
         config,
@@ -112,6 +163,7 @@ def main(argv=None):
         fk_fn=fk_fn,
         text_encoder=text_encoder,
         args_to_save=vars(args),
+        eval_fn=eval_fn,
     )
     if args.resume_checkpoint:
         loop.load(args.resume_checkpoint)

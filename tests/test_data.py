@@ -162,3 +162,47 @@ class TestLoader:
         motion, cond = next(iter(dl))
         assert motion.shape == (2, 24, 1, 80)
         assert cond["mfcc"].shape[1] == 26
+
+
+class TestMFCCCache:
+    def test_cached_vs_exact_window_features(self, genea_root):
+        """Take-level cached MFCC slices ~= exact per-chunk recompute."""
+        ds_cache = Genea2023(genea_root, split="train", window=80,
+                             use_mfcc_cache=True)
+        ds_exact = Genea2023(genea_root, split="train", window=80,
+                             use_mfcc_cache=False)
+        a = ds_cache[1]["mfcc"]
+        b = ds_exact[1]["mfcc"]
+        assert a.shape == b.shape
+        # identical except boundary frames (pre-emphasis/pad edge effects)
+        diff = np.abs(a - b).max(axis=1)
+        assert np.median(diff) < 1e-3
+
+
+class TestGenea2022:
+    def test_dataset_splits_and_items(self, tmp_path):
+        from gesturediffusion_tpu.data.genea import Genea2022
+        from gesturediffusion_tpu.data.synthetic import (
+            make_synthetic_genea2022,
+        )
+
+        root = make_synthetic_genea2022(
+            str(tmp_path / "g22"), n_takes=2, frames_per_take=300,
+            pose_dim=12,
+        )
+        ds_tr = Genea2022(root, split="train", window=80, step=30)
+        ds_va = Genea2022(root, split="val", window=80, step=30)
+        total = ds_tr.length + ds_va.length
+        # 2 takes x floor((300-80)/30)=7 windows
+        assert total == 14
+        assert ds_tr.length == int(14 * 0.7)
+        item = ds_tr[0]
+        assert item["motion"].shape == (80, 12)
+        assert item["mfcc"].shape[0] == 80
+        assert "seed" not in item  # 2022 has no seed poses
+
+    def test_rejects_seed_poses(self, tmp_path):
+        from gesturediffusion_tpu.data.genea import Genea2022
+
+        with pytest.raises(NotImplementedError):
+            Genea2022(str(tmp_path), n_seed_poses=10)
