@@ -138,21 +138,35 @@ class Genea2023:
         return self._audio_mmap[file_idx]
 
     def _take_mfcc(self, file_idx: int) -> np.ndarray:
-        """Full-take MFCCs (frame-aligned), cached to disk + memory."""
+        """Full-take MFCCs (frame-aligned), cached to disk + memory.
+
+        Disk writes are atomic (tmp file + rename) because loader threads /
+        multiple hosts may race on the same take; read-only dataset mounts
+        degrade gracefully to the in-memory cache.  Override the cache root
+        with GDT_MFCC_CACHE.
+        """
         if file_idx in self._mfcc_cache:
             return self._mfcc_cache[file_idx]
-        cache_file = os.path.join(
-            self.mfcc_cache_dir, self.takes[file_idx] + ".npy"
-        )
-        if self.use_mfcc_cache and os.path.isfile(cache_file):
-            feats = np.load(cache_file)
-        else:
+        cache_dir = os.environ.get("GDT_MFCC_CACHE", self.mfcc_cache_dir)
+        cache_file = os.path.join(cache_dir, self.takes[file_idx] + ".npy")
+        feats = None
+        if os.path.isfile(cache_file):
+            try:
+                feats = np.load(cache_file)
+            except (ValueError, EOFError, OSError):
+                feats = None  # partial write from a racing process
+        if feats is None:
             audio = np.asarray(self._audio(file_idx))
             feats = mfcc_fn(audio, samplerate=self.sr, winstep=1.0 / self.fps)
             feats = feats.astype(np.float32)
-            if self.use_mfcc_cache:
-                os.makedirs(self.mfcc_cache_dir, exist_ok=True)
-                np.save(cache_file, feats)
+            try:
+                os.makedirs(cache_dir, exist_ok=True)
+                # .npy suffix so np.save doesn't append another
+                tmp = cache_file + f".{os.getpid()}.tmp.npy"
+                np.save(tmp, feats)
+                os.replace(tmp, cache_file)
+            except OSError:
+                pass  # read-only mount: in-memory cache only
         self._mfcc_cache[file_idx] = feats
         return feats
 
@@ -170,12 +184,9 @@ class Genea2023:
         if self.use_mfcc_cache:
             take_feats = self._take_mfcc(file_idx)
             lo = sample * self.step
-            feats = take_feats[lo : lo + self.window]
-            if feats.shape[0] < self.window:
-                feats = np.pad(
-                    feats, ((0, self.window - feats.shape[0]), (0, 0))
-                )
-            return feats
+            # return short at take end (like the exact path); collate pads
+            # AFTER z-normalization, keeping both paths consistent
+            return take_feats[lo : lo + self.window]
         audio = np.asarray(self._audio(file_idx))
         i = int(sample * self.sr * self.step / self.fps)
         chunk = audio[i : int(i + self.window * self.sr / self.fps)]

@@ -108,21 +108,33 @@ def main(argv=None):
         # training_loop.py:165-202; metric evals need external assets, so
         # the always-available signal is val loss)
         try:
+            if args.dataset in ("humanml", "kit"):
+                eval_split = args.eval_split  # val|test both exist
+            elif args.dataset == "synthetic":
+                eval_split = "train"
+            else:
+                eval_split = "val"  # gesture datasets have no test split
             val_data = get_dataset_loader(
                 name=args.dataset, batch_size=args.eval_batch_size,
                 num_frames=args.num_frames,
-                split="val" if args.dataset != "synthetic" else "train",
+                split=eval_split,
                 datapath=args.data_dir or None,
                 n_seed_poses=args.seed_poses, seed=args.seed + 1,
             )
+            max_batches = -(-args.eval_num_samples // args.eval_batch_size)
             val_batches = []
             for i, (vm, vc) in enumerate(val_data):
-                if i >= args.eval_num_samples // args.eval_batch_size + 1:
+                if i >= max_batches:
                     break
-                val_batches.append(
-                    (jnp.asarray(vm),
-                     {k: jnp.asarray(v)
-                      for k, v in device_cond(vc).items()})
+                vcond = {
+                    k: jnp.asarray(v) for k, v in device_cond(vc).items()
+                }
+                if text_encoder is not None and "text" in vc:
+                    vcond["text_emb"] = jnp.asarray(text_encoder(vc["text"]))
+                val_batches.append((jnp.asarray(vm), vcond))
+            if not val_batches:
+                raise ValueError(
+                    f"{eval_split} split smaller than eval_batch_size"
                 )
 
             @jax.jit
