@@ -21,7 +21,9 @@ import numpy as np
 
 
 def lengths_to_mask(lengths: np.ndarray, max_len: int) -> np.ndarray:
-    return np.arange(max_len)[None, :] < np.asarray(lengths)[:, None]
+    from gesturediffusion_tpu.data import native
+
+    return native.lengths_to_mask_native(np.asarray(lengths), max_len)
 
 
 def collate_gesture(
@@ -32,11 +34,23 @@ def collate_gesture(
     t = max_frames or max(it["motion"].shape[0] for it in items)
     d = items[0]["motion"].shape[1]
 
+    from gesturediffusion_tpu.data import native
+
+    def fill_transposed(dst, src, i):
+        """dst[i, :, 0, :] = padded src.T — fused C kernel when available."""
+        if native.get_lib() is not None:
+            zeros = np.zeros(src.shape[1], np.float32)
+            ones = np.ones(src.shape[1], np.float32)
+            dst[i, :, 0, :] = native.window_znorm_transpose(
+                src, 0, dst.shape[-1], zeros, ones
+            )
+        else:
+            dst[i, :, 0, : src.shape[0]] = src.T
+
     motion = np.zeros((b, d, 1, t), np.float32)
     lengths = np.zeros((b,), np.int32)
     for i, it in enumerate(items):
-        m = it["motion"][:t]
-        motion[i, :, 0, : m.shape[0]] = m.T
+        fill_transposed(motion, it["motion"][:t], i)
         lengths[i] = min(int(it["length"]), t)
 
     cond: dict = {
@@ -48,8 +62,7 @@ def collate_gesture(
         c = items[0]["mfcc"].shape[1]
         mf = np.zeros((b, c, 1, t), np.float32)
         for i, it in enumerate(items):
-            f = it["mfcc"][:t]
-            mf[i, :, 0, : f.shape[0]] = f.T
+            fill_transposed(mf, it["mfcc"][:t], i)
         cond["mfcc"] = mf
 
     if "seed" in items[0]:

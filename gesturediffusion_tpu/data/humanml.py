@@ -55,15 +55,14 @@ class WordVectorizer:
     (reference: word_vectorizer.py:46-79)."""
 
     def __init__(self, meta_root: str, prefix: str):
-        self.word2vec = pickle.load(
-            open(pjoin(meta_root, f"{prefix}_data.pkl"), "rb")
-        )
-        words = pickle.load(open(pjoin(meta_root, f"{prefix}_words.pkl"), "rb"))
-        idx2word = pickle.load(
-            open(pjoin(meta_root, f"{prefix}_idx.pkl"), "rb")
-        )
+        # released asset layout: {prefix}_words.pkl (list of words),
+        # {prefix}_idx.pkl (word -> row), {prefix}_data.npy (embeddings)
+        with open(pjoin(meta_root, f"{prefix}_words.pkl"), "rb") as f:
+            words = pickle.load(f)
+        with open(pjoin(meta_root, f"{prefix}_idx.pkl"), "rb") as f:
+            word2idx = pickle.load(f)
         vectors = np.load(pjoin(meta_root, f"{prefix}_data.npy"))
-        self.word2vec = {w: vectors[idx2word[w]] for w in words}
+        self.word2vec = {w: vectors[word2idx[w]] for w in words}
 
     def _get_pos_ohot(self, pos: str) -> np.ndarray:
         pos_vec = np.zeros(len(POS_ENUMERATOR))

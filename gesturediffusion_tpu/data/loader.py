@@ -58,15 +58,22 @@ class DataLoader:
         batches = self._batches()
         q: Queue = Queue(maxsize=self.prefetch)
         stop = threading.Event()
+        error: list[BaseException] = []
 
         def produce():
-            with ThreadPoolExecutor(self.num_workers) as pool:
-                for batch_idx in batches:
-                    if stop.is_set():
-                        break
-                    items = list(pool.map(self.dataset.__getitem__, batch_idx))
-                    q.put(self.collate_fn(items))
-            q.put(None)
+            try:
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    for batch_idx in batches:
+                        if stop.is_set():
+                            return
+                        items = list(
+                            pool.map(self.dataset.__getitem__, batch_idx)
+                        )
+                        q.put(self.collate_fn(items))
+            except BaseException as e:  # surface in the consumer, don't hang
+                error.append(e)
+            finally:
+                q.put(None)
 
         producer = threading.Thread(target=produce, daemon=True)
         producer.start()
@@ -74,6 +81,8 @@ class DataLoader:
             while True:
                 item = q.get()
                 if item is None:
+                    if error:
+                        raise error[0]
                     break
                 yield item
         finally:

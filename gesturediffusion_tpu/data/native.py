@@ -1,5 +1,8 @@
 """ctypes bindings for the native data-path kernels (native/gdt_native.c).
 
+Call sites: data/collate.py uses `window_znorm_transpose` (fused pad +
+layout transpose per batch item) and `lengths_to_mask_native`; the znorm
+variants serve loaders that feed pre-normalized channel-major windows.
 Auto-builds the shared library on first use (gcc, ~1s); every entry point
 has a numpy fallback so the package works without a toolchain.
 """

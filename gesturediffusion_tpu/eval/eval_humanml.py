@@ -234,7 +234,9 @@ def evaluate_multimodality(eval_wrapper, mm_motion_loaders,
             b, r = reps.shape[:2]
             flat = reps.reshape(b * r, *reps.shape[2:])
             lens = np.repeat(batch["m_lens"], r)
-            emb = eval_wrapper.get_motion_embeddings(flat, lens)
+            # keep_order: the [b, r] regroup below requires input order
+            emb = eval_wrapper.get_motion_embeddings(flat, lens,
+                                                     keep_order=True)
             embs.append(emb.reshape(b, r, -1))
         if not embs:
             eval_dict[name] = 0.0
@@ -349,8 +351,13 @@ def main(argv=None):
     enable_compilation_cache()
     args.batch_size = 32  # fixed: R-precision is defined at batch 32
 
-    mode_cfg = EVAL_MODES[args.eval_mode if args.eval_mode in EVAL_MODES
-                          else "debug"]
+    if args.eval_mode not in EVAL_MODES:
+        # 'full' is an a2m-only protocol (reference raises here too)
+        raise ValueError(
+            f"eval_mode {args.eval_mode} unsupported for t2m; "
+            f"choose from {sorted(EVAL_MODES)}"
+        )
+    mode_cfg = EVAL_MODES[args.eval_mode]
 
     name = os.path.basename(os.path.dirname(args.model_path))
     niter = os.path.basename(os.path.normpath(args.model_path)).replace(
@@ -361,12 +368,44 @@ def main(argv=None):
         f"eval_humanml_{name}_{niter}_{args.eval_mode}.log",
     )
 
+    # GloVe vectorizer when assets exist (metric parity); hash stand-in
+    # keeps the pipeline runnable without them
+    from gesturediffusion_tpu.data.humanml import HashVectorizer, WordVectorizer
+
+    try:
+        w_vectorizer = WordVectorizer("./glove", "our_vab")
+    except (FileNotFoundError, OSError):
+        log_lib.log("GloVe assets not found — using hash vectorizer "
+                    "(NOT metric-parity)")
+        w_vectorizer = HashVectorizer()
+
+    root = args.data_dir or "./dataset/HumanML3D"
     dataset = Text2MotionDatasetV2(
-        args.data_dir or "./dataset/HumanML3D",
+        root,
         split="test",
         dataset_name="t2m" if args.dataset == "humanml" else "kit",
+        w_vectorizer=w_vectorizer,
     )
     gt_loader = GroundTruthMotionSet(dataset, batch_size=args.batch_size)
+
+    # renorm from the training normalization to the frozen T2M evaluator's
+    # convention (reference: comp_v6_model_dataset.py:246-250); eval stats
+    # ship as dataset/t2m_mean.npy + t2m_std.npy
+    renorm = None
+    eval_mean_p = os.path.join("dataset", "t2m_mean.npy")
+    if os.path.isfile(eval_mean_p):
+        renorm = (
+            dataset.mean, dataset.std,
+            np.load(eval_mean_p),
+            np.load(os.path.join("dataset", "t2m_std.npy")),
+        )
+    else:
+        log_lib.log("t2m evaluator norm stats not found — generated motions "
+                    "evaluated in training normalization (NOT metric-parity)")
+
+    from gesturediffusion_tpu.utils.text_embedder import get_text_encoder
+
+    text_encoder = get_text_encoder()
 
     model, diffusion = create_model_and_diffusion(args, dataset)
     params = load_checkpoint(args.model_path)["params"]
@@ -393,10 +432,12 @@ def main(argv=None):
         gen = GeneratedMotionSet(
             sample_fn,
             dataset,
+            text_encoder=text_encoder,
             batch_size=args.batch_size,
             mm_num_samples=mode_cfg["mm_num_samples"],
             mm_num_repeats=mode_cfg["mm_num_repeats"],
             scale=args.guidance_param,
+            renorm=renorm,
             seed=replication,
         )
         return gen, gen.mm_batches

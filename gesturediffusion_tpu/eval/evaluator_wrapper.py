@@ -126,8 +126,16 @@ class EvaluatorWrapper:
         text_embedding = jnp.asarray(np.asarray(text_embedding)[align_idx])
         return np.asarray(text_embedding), np.asarray(motion_embedding)
 
-    def get_motion_embeddings(self, motions, m_lens):
+    def get_motion_embeddings(self, motions, m_lens, keep_order: bool = False):
+        """Motion embeddings; length-sorted like the reference unless
+        ``keep_order`` (needed when the caller regroups by input index,
+        e.g. multimodality's [b, repeats] reshape)."""
         align_idx = np.argsort(np.asarray(m_lens))[::-1].copy()
         motions = jnp.asarray(np.asarray(motions)[align_idx])
         m_lens_s = jnp.asarray(np.asarray(m_lens)[align_idx])
-        return np.asarray(self._jit_motion(motions, m_lens_s))
+        emb = np.asarray(self._jit_motion(motions, m_lens_s))
+        if keep_order:
+            inverse = np.empty_like(align_idx)
+            inverse[align_idx] = np.arange(len(align_idx))
+            return emb[inverse]
+        return emb

@@ -148,10 +148,18 @@ class MDM(nn.Module):
         )
 
         # ---- feature calculation -------------------------------------- #
+        # independent dropout masks per conditioning stream (the reference
+        # draws a fresh bernoulli per mask_cond call, mdm.py:242-250)
+        text_rng = (
+            jax.random.fold_in(mask_rng, 0) if mask_rng is not None else None
+        )
+        seed_rng = (
+            jax.random.fold_in(mask_rng, 1) if mask_rng is not None else None
+        )
         if self.use_text:
             enc_text = cond["text_emb"].astype(x.dtype)  # [B, clip_dim]
             emb_text = nn.Dense(self.text_dim, name="embed_text")(
-                self._mask_cond(enc_text, uncond, train, mask_rng)
+                self._mask_cond(enc_text, uncond, train, text_rng)
             )
 
         seed = cond["seed"]  # [B, J, 1, S]
@@ -160,7 +168,7 @@ class MDM(nn.Module):
             self.latent_dim - self.text_dim if self.use_text else self.latent_dim
         )
         emb_seed = SeedPoseEncoder(seed_latent, name="seed_pose_encoder")(
-            self._mask_cond(flat_seed, uncond, train, mask_rng)
+            self._mask_cond(flat_seed, uncond, train, seed_rng)
         )
 
         emb_t = TimestepEmbedder(self.latent_dim, name="embed_timestep")(

@@ -83,6 +83,8 @@ def mfcc(
     """MFCCs [num_frames, min(numcep, nfilt)] of a mono signal."""
     signal = np.asarray(signal, np.float64)
     if preemph:
+        # float64 on purpose: bit-parity with python_speech_features
+        # (the f32 native kernel is for the f32 data path, not DSP prep)
         signal = np.append(signal[0], signal[1:] - preemph * signal[:-1])
 
     frame_len = int(round(winlen * samplerate))

@@ -147,6 +147,15 @@ def main(argv=None):
     dcond = {k: jnp.asarray(v) for k, v in device_cond(cond).items()}
     if guidance != 1:
         dcond["scale"] = jnp.full((n,), guidance, jnp.float32)
+    if args.dataset in ("humanml", "kit") and not args.unconstrained:
+        # text-conditioned editing: the prompt (possibly empty, with
+        # guidance 0) conditions every sample (reference: edit.py:66-70)
+        from gesturediffusion_tpu.utils.text_embedder import get_text_encoder
+
+        text_encoder = get_text_encoder()
+        dcond["text_emb"] = jnp.asarray(
+            text_encoder([args.text_condition] * n)
+        )
 
     shape = motion.shape
 

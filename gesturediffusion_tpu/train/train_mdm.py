@@ -54,8 +54,16 @@ def main(argv=None):
     log_lib.log("creating model and diffusion...")
     model, diffusion = create_model_and_diffusion(args, data.dataset)
 
+    text_encoder = None
+    if args.dataset in ("humanml", "kit") and not args.unconstrained:
+        from gesturediffusion_tpu.utils.text_embedder import get_text_encoder
+
+        text_encoder = get_text_encoder()
+
     motion, cond = next(iter(data))
     dcond = {k: jnp.asarray(v) for k, v in device_cond(cond).items()}
+    if text_encoder is not None and "text" in cond:
+        dcond["text_emb"] = jnp.asarray(text_encoder(cond["text"]))
     x0 = jnp.asarray(motion)
     t0 = jnp.zeros((motion.shape[0],), jnp.int32)
     params = model.init(jax.random.PRNGKey(args.seed), x0, t0, dcond)
@@ -64,14 +72,6 @@ def main(argv=None):
 
     def apply_fn(p, x, t, c, rngs=None):
         return model.apply(p, x, t, c, train=True, rngs=rngs)
-
-    text_encoder = None
-    if args.dataset in ("humanml", "kit") and not args.unconstrained:
-        from gesturediffusion_tpu.utils.text_embedder import get_text_encoder
-
-        text_encoder = get_text_encoder()
-        dcond["text_emb"] = jnp.asarray(text_encoder(cond["text"]))
-        params = model.init(jax.random.PRNGKey(args.seed), x0, t0, dcond)
 
     fk_fn = None
     if args.lambda_rcxyz > 0 or args.lambda_fc > 0:

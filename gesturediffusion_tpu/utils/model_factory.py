@@ -59,11 +59,15 @@ def create_model(args, data=None):
     dataset = args.dataset
     if dataset in GESTURE_DATASETS:
         if getattr(args, "arch", "trans_enc") == "trans_enc":
+            use_wav_enc = getattr(args, "use_wav_enc", False)
+            # audio features are required: MFCCs unless the wav encoder
+            # was explicitly requested
+            mfcc_input = getattr(args, "mfcc_input", False) or not use_wav_enc
             return MDM(
                 use_text=args.use_text,
                 seed_poses=args.seed_poses,
-                mfcc_input=getattr(args, "mfcc_input", True) or True,
-                use_wav_enc=getattr(args, "use_wav_enc", False),
+                mfcc_input=mfcc_input,
+                use_wav_enc=use_wav_enc,
                 **kw,
             )
         raise NotImplementedError(f"arch {args.arch} for gesture")

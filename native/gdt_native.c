@@ -4,9 +4,9 @@
  * per-item hotspot is window slicing + z-normalization + layout transpose
  * feeding the [B, D, 1, T] batch contract (reference:
  * data_loaders/gesture/data/dataset.py:75-79, data_loaders/tensors.py:56-66).
- * These C kernels fuse gather + z-norm + transpose into one pass per item,
- * called from the threaded loader via ctypes (they release the GIL by
- * construction: pure C, no Python API).
+ * These C kernels fuse gather + z-norm/pad + layout transpose into one pass
+ * per item; data/collate.py calls them via ctypes for every batch (pure C,
+ * no Python API -> no GIL interaction).
  *
  * Build: `make -C native` -> libgdt_native.so
  */
