@@ -179,6 +179,14 @@ class MDM(nn.Module):
             emb_audio = cond["mfcc"][:, :, 0, :]  # [B, A, T]
         elif self.use_wav_enc:
             emb_audio = WavEncoder(name="wav_encoder")(cond["audio"], train=train)
+            # align conv frame count to the motion frame count
+            tw = emb_audio.shape[-1]
+            if tw >= nframes:
+                emb_audio = emb_audio[..., :nframes]
+            else:
+                emb_audio = jnp.pad(
+                    emb_audio, ((0, 0), (0, 0), (0, nframes - tw))
+                )
         else:
             raise NotImplementedError("audio conditioning required")
         emb_audio = emb_audio.transpose(0, 2, 1).astype(x.dtype)  # [B, T, A]
