@@ -345,7 +345,10 @@ def plms_sample_loop(
     def body(carry, i):
         xc, eps_buf, n_old = carry
         t = jnp.full((shape[0],), i, jnp.int32)
-        eps, _, pred_xstart_orig = get_eps_xstart(xc, t)
+        # the GUIDED pred_xstart drives the warmup probe and the final-step
+        # blend (reference: plms_sample uses out['pred_xstart'] at
+        # gaussian_diffusion.py:1048,1075)
+        eps, pred_xstart, _ = get_eps_xstart(xc, t)
 
         alpha_bar_prev = _extract(diffusion.alphas_cumprod_prev, t, xc.ndim)
 
@@ -355,7 +358,7 @@ def plms_sample_loop(
         def warmup(_):
             # Pseudo improved Euler: probe the model one step ahead.
             mean_pred_1 = (
-                pred_xstart_orig * jnp.sqrt(alpha_bar_prev)
+                pred_xstart * jnp.sqrt(alpha_bar_prev)
                 + jnp.sqrt(1 - alpha_bar_prev) * eps
             )
             eps_2, _, _ = get_eps_xstart(mean_pred_1, t - 1)
@@ -375,7 +378,7 @@ def plms_sample_loop(
             + jnp.sqrt(1 - alpha_bar_prev) * eps_prime
         )
         nz = _nonzero_mask(t, xc.ndim)
-        sample = mean_pred * nz + pred_xstart_orig * (1 - nz)
+        sample = mean_pred * nz + pred_xstart * (1 - nz)
         return (sample, eps_buf_new, jnp.minimum(n_old + 1, order)), None
 
     eps_buf0 = jnp.zeros((order,) + tuple(shape), x.dtype)

@@ -74,8 +74,24 @@ class SimpleTokenizer:
     """CLIP's byte-level BPE tokenizer (requires the public merges file)."""
 
     def __init__(self, bpe_path: str):
-        import re
+        # CLIP's pattern needs unicode classes (\p{L}/\p{N}); the `regex`
+        # module provides them (ASCII fallback only if it's missing, which
+        # changes tokenization of non-ASCII prompts)
+        try:
+            import regex as re
 
+            pat = (
+                r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|"
+                r"[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+"
+            )
+        except ImportError:
+            import re
+
+            pat = (
+                r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|"
+                r"[a-zA-Z]+|[0-9]|[^\sa-zA-Z0-9]+"
+            )
+        self._pat_re = re.compile(pat, re.IGNORECASE)
         self.byte_encoder = bytes_to_unicode()
         self.byte_decoder = {v: k for k, v in self.byte_encoder.items()}
         with gzip.open(bpe_path, "rt", encoding="utf-8") as f:
@@ -94,14 +110,7 @@ class SimpleTokenizer:
             "<|startoftext|>": "<|startoftext|>",
             "<|endoftext|>": "<|endoftext|>",
         }
-        self.pat = re.compile(
-            r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|"
-            r"[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+"
-            if False
-            else r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|"
-            r"[a-zA-Z]+|[0-9]|[^\sa-zA-Z0-9]+",
-            re.IGNORECASE,
-        )
+        self.pat = self._pat_re
 
     def bpe(self, token: str) -> str:
         if token in self.cache:

@@ -162,8 +162,8 @@ class MDM(nn.Module):
                 self._mask_cond(enc_text, uncond, train, text_rng)
             )
 
-        seed = cond["seed"]  # [B, J, 1, S]
-        flat_seed = seed[:, :, 0, :].reshape(bs, -1)
+        seed = cond["seed"]  # [B, J, F, S]
+        flat_seed = seed.reshape(bs, -1)  # all features (F=1 in production)
         seed_latent = (
             self.latent_dim - self.text_dim if self.use_text else self.latent_dim
         )
@@ -191,8 +191,8 @@ class MDM(nn.Module):
             raise NotImplementedError("audio conditioning required")
         emb_audio = emb_audio.transpose(0, 2, 1).astype(x.dtype)  # [B, T, A]
 
-        # pose: [B, J, 1, T] -> [B, T, J]
-        pose = x[:, :, 0, :].transpose(0, 2, 1)
+        # pose: [B, J, F, T] -> [B, T, J*F] (all features, not just idx 0)
+        pose = x.reshape(bs, njoints * nfeats, nframes).transpose(0, 2, 1)
         emb_pose = nn.Dense(self.latent_dim, name="input_process")(pose)
 
         # ---- feature aggregation -------------------------------------- #

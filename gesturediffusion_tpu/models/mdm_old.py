@@ -70,16 +70,16 @@ class MDMOld(nn.Module):
 
         emb = TimestepEmbedder(self.latent_dim, name="embed_timestep")(timesteps)
 
-        flat_seed = cond["seed"][:, :, 0, :].reshape(bs, -1)
+        flat_seed = cond["seed"].reshape(bs, -1)
         emb_seed = SeedPoseEncoder(self.latent_dim, name="seed_pose_encoder")(
             self._mask_cond(flat_seed, uncond, train, mask_rng)
         )
         emb = emb + emb_seed  # [B, D]
 
-        # audio concat on channel axis: [B, J+A, 1, T]
+        # audio concat on channel axis: [B, J+A, F, T]
         mfccs = cond["mfcc"].astype(x.dtype)
         xa = jnp.concatenate([x, mfccs], axis=1)
-        feats = xa[:, :, 0, :].transpose(0, 2, 1)  # [B, T, J+A]
+        feats = xa.reshape(bs, -1, nframes).transpose(0, 2, 1)  # [B,T,(J+A)F]
         h = nn.Dense(self.latent_dim, name="input_process")(feats)
 
         xseq = jnp.concatenate([emb[:, None, :], h], axis=1)  # [B, T+1, D]

@@ -196,17 +196,19 @@ class SMPLModel:
 
         out = {"vertices": verts, "smpl": joints}
         n_all = all_joints.shape[1]
+        # a2m/vibe indices go through JOINT_MAP (reference: smpl.py:76-84);
+        # ACTION2MOTION_JOINTS are positions in JOINT_NAMES, never direct
+        # joint ids — when the extra regressor is absent and an index is
+        # out of range, omit the set rather than return scrambled joints
         vibe_idx = np.asarray([JOINT_MAP[n] for n in JOINT_NAMES])
+        a2m_idx = vibe_idx[list(ACTION2MOTION_JOINTS)]
         if n_all > int(vibe_idx.max()):
             out["vibe"] = all_joints[:, vibe_idx]
-            a2m_idx = vibe_idx[list(ACTION2MOTION_JOINTS)]
+        if n_all > int(a2m_idx.max()):
             out["a2m"] = all_joints[:, a2m_idx]
             out["a2mpl"] = all_joints[
                 :, np.unique(np.r_[np.arange(24), a2m_idx])
             ]
-        elif n_all > max(ACTION2MOTION_JOINTS):
-            # no extra regressor: a2m indices into the 45-joint set
-            out["a2m"] = all_joints[:, list(ACTION2MOTION_JOINTS)]
         return out
 
 
@@ -286,6 +288,11 @@ def make_synthetic_smpl(
     vertex_ids = tuple(
         int(i) for i in rs.choice(n_vertices, 21, replace=False)
     )
+    # 9-joint extra regressor so the vibe/a2m joint sets are exercised
+    extra_reg = np.zeros((9, n_vertices), np.float32)
+    for j in range(9):
+        ids = rs.choice(n_vertices, 4, replace=False)
+        extra_reg[j, ids] = 0.25
     return SMPLModel(
         v_template=jnp.asarray(v_template),
         shapedirs=jnp.asarray(
@@ -296,6 +303,7 @@ def make_synthetic_smpl(
         ),
         j_regressor=jnp.asarray(j_reg),
         lbs_weights=jnp.asarray(lbs_w),
+        j_regressor_extra=jnp.asarray(extra_reg),
         parents=SMPL_PARENTS,
         vertex_joint_ids=vertex_ids,
     )

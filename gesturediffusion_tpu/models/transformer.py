@@ -85,6 +85,7 @@ class TransformerEncoderLayer(nn.Module):
     dim_feedforward: int
     dropout: float = 0.1
     activation: str = "gelu"
+    use_fused_kernel: bool = False
 
     @nn.compact
     def __call__(
@@ -96,7 +97,8 @@ class TransformerEncoderLayer(nn.Module):
     ) -> jax.Array:
         act = {"gelu": nn.gelu, "relu": nn.relu}[self.activation]
         attn_out = MultiheadSelfAttention(
-            self.num_heads, dropout=self.dropout, name="self_attn"
+            self.num_heads, dropout=self.dropout,
+            use_fused_kernel=self.use_fused_kernel, name="self_attn",
         )(x, mask=mask, deterministic=deterministic)
         x = x + nn.Dropout(self.dropout)(attn_out, deterministic=deterministic)
         x = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
@@ -117,6 +119,7 @@ class TransformerEncoder(nn.Module):
     dim_feedforward: int
     dropout: float = 0.1
     activation: str = "gelu"
+    use_fused_kernel: bool = False
 
     @nn.compact
     def __call__(
@@ -133,6 +136,7 @@ class TransformerEncoder(nn.Module):
                 dim_feedforward=self.dim_feedforward,
                 dropout=self.dropout,
                 activation=self.activation,
+                use_fused_kernel=self.use_fused_kernel,
                 name=f"layer_{i}",
             )(x, mask=mask, deterministic=deterministic)
         return x

@@ -54,9 +54,11 @@ def _band_kernel(
         return keep
 
     sim_prev = jnp.dot(
-        q, k_prev.T, preferred_element_type=jnp.float32
+        q, k_prev.T, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     ) * scale
-    sim_cur = jnp.dot(q, k_cur.T, preferred_element_type=jnp.float32) * scale
+    sim_cur = jnp.dot(q, k_cur.T, preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST) * scale
 
     mask_prev = band_mask(qpos, kpos_prev) & (i > 0)
     mask_cur = band_mask(qpos, kpos_cur)
@@ -75,9 +77,11 @@ def _band_kernel(
     )
     out = (
         jnp.dot(e_prev.astype(v_prev.dtype), v_prev,
-                preferred_element_type=jnp.float32)
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
         + jnp.dot(e_cur.astype(v_cur.dtype), v_cur,
-                  preferred_element_type=jnp.float32)
+                  preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST)
     ) / denom
     o_ref[0] = out.astype(o_ref.dtype)
 

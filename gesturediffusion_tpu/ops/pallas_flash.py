@@ -7,8 +7,9 @@ attention — q, k, v, scores, softmax, output — fits comfortably in VMEM
 (~600 KB), so the kernel runs one (batch, head) pair per grid step with
 zero intermediate HBM traffic: read q/k/v once, write out once.
 
-Used by models/transformer.py on TPU when dropout/masking are off
-(sampling — the perf-critical path); XLA handles the general case.
+Opt-in via TransformerEncoder(use_fused_kernel=True) — measured SLOWER than
+XLA's own fusion at production shapes (T<=200) on v5e, so off by default;
+intended for long-sequence configs where the score tensor dominates.
 """
 
 from __future__ import annotations
@@ -29,7 +30,8 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, t_real: int, scale: float):
     v = v_ref[0]
     tp = q.shape[0]
 
-    scores = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+    scores = jnp.dot(q, k.T, preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST) * scale
     kpos = jax.lax.broadcasted_iota(jnp.int32, (tp, tp), 1)
     scores = jnp.where(kpos < t_real, scores, NEG_INF)
 
@@ -37,7 +39,8 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, t_real: int, scale: float):
     e = jnp.exp(scores - m)
     denom = jnp.sum(e, axis=-1, keepdims=True)
     out = jnp.dot(
-        e.astype(v.dtype), v, preferred_element_type=jnp.float32
+        e.astype(v.dtype), v, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     ) / denom
     o_ref[0] = out.astype(o_ref.dtype)
 

@@ -21,6 +21,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from gesturediffusion_tpu.ops import quaternion as quat_ops
+from gesturediffusion_tpu.ops.quaternion_np import (
+    qbetween_np as _qbetween_np,
+    qinv_np as _qinv_np,
+    qmul_np as _qmul_np,
+)
 
 
 def parents_from_chains(num_joints: int, chains: Sequence[Sequence[int]]) -> list[int]:
@@ -187,32 +192,3 @@ class Skeleton:
                 R = _qmul_np(R, R_loc)
         return quat_params
 
-
-# ---------------------------------------------------------------------- #
-# numpy quaternion helpers (host-side IK path)
-# ---------------------------------------------------------------------- #
-def _qinv_np(q: np.ndarray) -> np.ndarray:
-    return q * np.array([1.0, -1.0, -1.0, -1.0])
-
-
-def _qmul_np(q: np.ndarray, r: np.ndarray) -> np.ndarray:
-    qw, qx, qy, qz = (q[..., n] for n in range(4))
-    rw, rx, ry, rz = (r[..., n] for n in range(4))
-    return np.stack(
-        [
-            qw * rw - qx * rx - qy * ry - qz * rz,
-            qw * rx + qx * rw + qy * rz - qz * ry,
-            qw * ry - qx * rz + qy * rw + qz * rx,
-            qw * rz + qx * ry - qy * rx + qz * rw,
-        ],
-        axis=-1,
-    )
-
-
-def _qbetween_np(v0: np.ndarray, v1: np.ndarray) -> np.ndarray:
-    v = np.cross(v0, v1)
-    w = np.sqrt(
-        (v0**2).sum(axis=-1, keepdims=True) * (v1**2).sum(axis=-1, keepdims=True)
-    ) + (v0 * v1).sum(axis=-1, keepdims=True)
-    q = np.concatenate([w, v], axis=-1)
-    return q / np.linalg.norm(q, axis=-1, keepdims=True)
