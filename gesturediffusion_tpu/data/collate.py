@@ -86,5 +86,10 @@ def collate_gesture(
 
 
 def device_cond(cond: dict) -> dict:
-    """Strip host-only fields (strings) so the cond pytree is jit-safe."""
-    return {k: v for k, v in cond.items() if k != "text"}
+    """Strip host-only fields (strings/lists of strings, e.g. 'text' and
+    a2m 'action_text') so the cond pytree is jit-safe."""
+    return {
+        k: v
+        for k, v in cond.items()
+        if not (k == "text" or isinstance(v, (str, list, tuple)))
+    }

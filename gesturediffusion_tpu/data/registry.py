@@ -31,6 +31,10 @@ def get_dataset_class(name: str):
         from gesturediffusion_tpu.data.a2m import HumanAct12Poses
 
         return HumanAct12Poses
+    if name == "uestc":
+        from gesturediffusion_tpu.data.uestc import UESTC
+
+        return UESTC
     raise ValueError(f"Unsupported dataset name [{name}]")
 
 
@@ -52,7 +56,7 @@ def get_dataset(
             dataset_name="t2m" if name == "humanml" else "kit",
             **kwargs,
         )
-    if name == "humanact12":
+    if name in ("humanact12", "uestc"):
         kw = dict(split=split, num_frames=num_frames, **kwargs)
         if datapath:
             kw["datapath"] = datapath
@@ -74,12 +78,14 @@ def get_dataset_loader(
     num_workers: int = 8,
     n_seed_poses: int = 10,
     seed: int = 0,
+    process_count: int = 1,
+    process_index: int = 0,
     **kwargs,
 ) -> DataLoader:
     dataset = get_dataset(
         name, num_frames, split, datapath, n_seed_poses=n_seed_poses, **kwargs
     )
-    if name == "humanact12":
+    if name in ("humanact12", "uestc"):
         from gesturediffusion_tpu.data.a2m import collate_a2m
 
         collate_fn = partial(collate_a2m, max_frames=num_frames)
@@ -95,4 +101,6 @@ def get_dataset_loader(
         drop_last=True,
         num_workers=num_workers,
         seed=seed,
+        process_count=process_count,
+        process_index=process_index,
     )

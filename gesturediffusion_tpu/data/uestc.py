@@ -189,3 +189,60 @@ class UESTC(A2MDataset):
     def parse_action(self, path, return_int=True):
         info = self._get_action_view_subject_side(path)[0]
         return int(info) if return_int else info
+
+
+def make_synthetic_uestc(
+    root: str,
+    n_videos: int = 16,
+    n_actions: int = 4,
+    seed: int = 0,
+    min_frames: int = 64,
+    max_frames: int = 80,
+) -> str:
+    """Synthetic vibe_cache_refined.pkl-shaped UESTC fixture for hermetic
+    tests (covers train/test subjects, side-2 view correction, all views).
+
+    Layout mirrors what the real dataset directory provides
+    (reference: data_loaders/a2m/uestc.py:59-96 — info/num_frames_min.txt,
+    info/names.txt, info/action_classes.txt, vibe_cache_refined.pkl with
+    pose [T,72] / joints3d [T,49,3] / orig_cam [T,4] lists).
+    """
+    rng = np.random.RandomState(seed)
+    os.makedirs(os.path.join(root, "info"), exist_ok=True)
+    names, nframes, poses, joints, cams = [], [], [], [], []
+    # subjects 1/2 are in TRAIN_SUBJECTS; 3/4 fall into the test split
+    subjects = [1, 2, 3, 4]
+    for v in range(n_videos):
+        act = v % n_actions
+        view = v % 8
+        subject = subjects[v % len(subjects)]
+        side = 1 if v % 2 == 0 else 2
+        names.append(f"a{act}_d{view}_p{subject:03d}_c{side}_color.avi")
+        t = int(rng.randint(min_frames, max_frames + 1))
+        nframes.append(t)
+        poses.append(
+            np.cumsum(rng.randn(t, 72).astype(np.float32) * 0.02, axis=0)
+        )
+        joints.append(
+            np.cumsum(rng.randn(t, 49, 3).astype(np.float32) * 0.01, axis=0)
+        )
+        cams.append(
+            np.concatenate(
+                [
+                    rng.uniform(0.8, 1.2, (t, 2)),
+                    rng.uniform(-0.1, 0.1, (t, 2)),
+                ],
+                axis=1,
+            ).astype(np.float32)
+        )
+    with open(os.path.join(root, "info", "names.txt"), "w") as f:
+        f.write("\n".join(names) + "\n")
+    with open(os.path.join(root, "info", "num_frames_min.txt"), "w") as f:
+        f.write("\n".join(str(n) for n in nframes) + "\n")
+    with open(os.path.join(root, "info", "action_classes.txt"), "w") as f:
+        f.write("\n".join(f"action_{i}" for i in range(40)) + "\n")
+    with open(os.path.join(root, "vibe_cache_refined.pkl"), "wb") as f:
+        pickle.dump(
+            {"pose": poses, "joints3d": joints, "orig_cam": cams}, f
+        )
+    return root

@@ -241,6 +241,18 @@ class STGCNA2MEvaluation(A2MEvaluation):
         return feats, labels
 
 
+def _batch_indices(n: int, batch_size: int):
+    """Full-size index blocks covering n samples; the last block is padded
+    to batch_size (keeping jit shapes static) with a `keep` count so the
+    caller can truncate host-side (reference: stgcn_eval.py:68-71 truncates
+    the last batch to num_samples % batch_size)."""
+    for lo in range(0, n, batch_size):
+        keep = min(batch_size, n - lo)
+        idxs = list(range(lo, lo + keep))
+        idxs += [idxs[-1]] * (batch_size - keep)
+        yield idxs, keep
+
+
 def make_generated_batches(
     sample_fn: Callable,
     fk_fn: Callable,
@@ -256,8 +268,8 @@ def make_generated_batches(
     rng = jax.random.PRNGKey(seed)
     batches = []
     n = min(num_samples, len(dataset))
-    for lo in range(0, n - batch_size + 1, batch_size):
-        items = [dataset[i] for i in range(lo, lo + batch_size)]
+    for idxs, keep in _batch_indices(n, batch_size):
+        items = [dataset[i] for i in idxs]
         motion, cond = collate_a2m(items, max_frames=num_frames)
         dcond = {
             "mask": jnp.asarray(cond["mask"]),
@@ -269,11 +281,11 @@ def make_generated_batches(
         xyz = fk_fn(sample)
         batches.append(
             {
-                "output_xyz": np.asarray(xyz),
+                "output_xyz": np.asarray(xyz)[:keep],
                 # rotations minus the translation row (STGCN eval input)
-                "output_rot": np.asarray(sample)[:, :-1],
-                "lengths": cond["lengths"],
-                "y": cond["action"],
+                "output_rot": np.asarray(sample)[:keep, :-1],
+                "lengths": cond["lengths"][:keep],
+                "y": cond["action"][:keep],
             }
         )
     return batches
@@ -287,16 +299,16 @@ def make_gt_batches(
 
     batches = []
     n = min(num_samples, len(dataset))
-    for lo in range(0, n - batch_size + 1, batch_size):
-        items = [dataset[i] for i in range(lo, lo + batch_size)]
+    for idxs, keep in _batch_indices(n, batch_size):
+        items = [dataset[i] for i in idxs]
         motion, cond = collate_a2m(items, max_frames=num_frames)
         xyz = fk_fn(jnp.asarray(motion))
         batches.append(
             {
-                "output_xyz": np.asarray(xyz),
-                "output_rot": motion[:, :-1],
-                "lengths": cond["lengths"],
-                "y": cond["action"],
+                "output_xyz": np.asarray(xyz)[:keep],
+                "output_rot": motion[:keep, :-1],
+                "lengths": cond["lengths"][:keep],
+                "y": cond["action"][:keep],
             }
         )
     return batches
@@ -340,6 +352,120 @@ def evaluate_humanact12(
     return summary
 
 
+def evaluate_uestc(
+    sample_fn,
+    fk_fn,
+    dataset,
+    evaluation: STGCNA2MEvaluation,
+    num_seeds: int = 20,
+    num_samples: int = 1000,
+    batch_size: int = 64,
+    num_frames: int = 60,
+    cond_mode: str = "action",
+    log=print,
+) -> dict:
+    """UESTC multi-seed evaluation over BOTH the train and test GT splits
+    (reference: eval/a2m/stgcn_eval.py:78-147 — per-seed shuffles, gt+gen
+    loaders per split, STGCN accuracy/FID/diversity/multimodality, metric
+    keys suffixed `_train`/`_test`)."""
+    import copy
+
+    splits = {}
+    for key in ("train", "test"):
+        ds = copy.copy(dataset)
+        ds.split = key
+        ds._train = list(dataset._train)
+        ds._test = list(dataset._test)
+        ds._original_train = None
+        ds._original_test = None
+        splits[key] = ds
+
+    all_metrics: dict = {}
+    for seed in range(num_seeds):
+        per_seed = {}
+        for key, ds in splits.items():
+            ds.reset_shuffle()
+            ds.shuffle()
+            gt_batches = make_gt_batches(
+                fk_fn, ds, num_samples, batch_size, num_frames
+            )
+            gen_batches = make_generated_batches(
+                sample_fn, fk_fn, ds, num_samples, batch_size, num_frames,
+                seed=seed,
+            )
+            metrics = evaluation.evaluate(
+                {"gt": gt_batches, "gen": gen_batches}, cond_mode=cond_mode
+            )
+            per_seed.update({f"{k}_{key}": v for k, v in metrics.items()})
+        log(f"[seed {seed}] {per_seed}")
+        for k, v in per_seed.items():
+            all_metrics.setdefault(k, []).append(v)
+    summary = {}
+    for k, values in all_metrics.items():
+        mean, conf = M.get_metric_statistics(np.asarray(values), num_seeds)
+        summary[k] = float(mean)
+        summary[f"{k}_conf"] = float(conf)
+    return summary
+
+
+# SMPL-joint indices of the 15-joint openpose-like subset used by the
+# unconstrained (MoDi) metrics (reference: eval/a2m/gru_eval.py:115).
+UNCONSTRAINED_15_JOINTS = [15, 12, 16, 18, 20, 17, 19, 21, 0, 1, 4, 7, 2, 5, 8]
+
+
+def evaluate_unconstrained_branch(
+    sample_fn,
+    fk_fn,
+    dataset,
+    num_samples: int = 1000,
+    batch_size: int = 64,
+    num_frames: int = 60,
+    dataset_npy_path: Optional[str] = None,
+    evaluator=None,
+    seed: int = 12345,
+    log=print,
+) -> dict:
+    """MoDi-STGCN FID/KID/diversity on unconstrained samples
+    (reference: eval/a2m/gru_eval.py:106-121 — generate
+    num_samples_unconstrained motions, take the 15-joint SMPL subset,
+    call evaluate_unconstrained_metrics).  GT motions come from the
+    precomputed modi-struct npy when available, else are derived from the
+    dataset's own joints via the same FK + subset (loudly logged)."""
+    from gesturediffusion_tpu.eval.eval_unconstrained import (
+        evaluate_unconstrained_metrics,
+    )
+
+    dataset.reset_shuffle()
+    dataset.shuffle()
+    gen_batches = make_generated_batches(
+        sample_fn, fk_fn, dataset, num_samples, batch_size, num_frames,
+        seed=seed,
+    )
+    generated = np.concatenate(
+        [b["output_xyz"][:, UNCONSTRAINED_15_JOINTS] for b in gen_batches]
+    )
+
+    if dataset_npy_path and os.path.exists(dataset_npy_path):
+        motion_data = np.load(dataset_npy_path, allow_pickle=True)
+    else:
+        log(
+            "WARNING: unconstrained GT npy not found at "
+            f"[{dataset_npy_path}]; deriving 15-joint GT motions from the "
+            "dataset via FK (metric values will differ from the reference "
+            "protocol until the asset is provided)."
+        )
+        gt_batches = make_gt_batches(
+            fk_fn, dataset, num_samples, batch_size, num_frames
+        )
+        motion_data = np.concatenate(
+            [b["output_xyz"][:, UNCONSTRAINED_15_JOINTS] for b in gt_batches]
+        )
+    metrics = evaluate_unconstrained_metrics(
+        generated, motion_data, evaluator=evaluator, fast=True, log=log
+    )
+    return {f"{k}_unconstrained": v for k, v in metrics.items()}
+
+
 def save_metrics(path: str, metrics: dict) -> None:
     """YAML metric dump (reference: eval/a2m/tools.py:11)."""
     import yaml
@@ -355,8 +481,11 @@ EVAL_MODES_A2M = {
 }
 
 
+def _existing(path: Optional[str]) -> Optional[str]:
+    return path if path and os.path.exists(path) else None
+
+
 def main(argv=None):
-    from gesturediffusion_tpu.data.a2m import HumanAct12Poses
     from gesturediffusion_tpu.diffusion.sampling import p_sample_loop
     from gesturediffusion_tpu.models.cfg import classifier_free_guidance
     from gesturediffusion_tpu.models.rotation2xyz import rotation2xyz
@@ -375,10 +504,26 @@ def main(argv=None):
     mode = EVAL_MODES_A2M[args.eval_mode if args.eval_mode in EVAL_MODES_A2M
                           else "debug"]
 
-    dataset = HumanAct12Poses(
-        args.data_dir or "dataset/HumanAct12Poses",
-        num_frames=60, pose_rep="rot6d", split="test",
-    )
+    # dataset dispatch (reference: eval_humanact12_uestc.py:30-35)
+    if args.dataset == "uestc":
+        from gesturediffusion_tpu.data.uestc import UESTC
+
+        dataset = UESTC(
+            args.data_dir or "dataset/uestc",
+            num_frames=60, pose_rep="rot6d", split="test",
+        )
+    elif args.dataset == "humanact12":
+        from gesturediffusion_tpu.data.a2m import HumanAct12Poses
+
+        dataset = HumanAct12Poses(
+            args.data_dir or "dataset/HumanAct12Poses",
+            num_frames=60, pose_rep="rot6d", split="test",
+        )
+    else:
+        raise NotImplementedError(
+            f"dataset [{args.dataset}] is not supported by the a2m "
+            "benchmark (expected humanact12 or uestc)."
+        )
     model, diffusion = create_model_and_diffusion(args, dataset)
     params = load_checkpoint(args.model_path)["params"]
 
@@ -414,26 +559,75 @@ def main(argv=None):
             jointstype="smpl", vertstrans=True,
         )
 
-    evaluation = A2MEvaluation(
-        checkpoint_path=os.environ.get(
-            "A2M_CLASSIFIER_PATH", "assets/actionrecognition/humanact12_gru.tar"
+    cond_mode = "no_cond" if args.unconstrained else "action"
+    if args.dataset == "uestc":
+        evaluation = STGCNA2MEvaluation(
+            checkpoint_path=_existing(
+                os.environ.get(
+                    "UESTC_STGCN_PATH",
+                    "assets/actionrecognition/uestc_rot6d_stgcn.tar",
+                )
+            ),
         )
-        if os.path.exists(
-            os.environ.get("A2M_CLASSIFIER_PATH",
-                           "assets/actionrecognition/humanact12_gru.tar")
+        summary = evaluate_uestc(
+            sample_fn, fk_fn, dataset, evaluation,
+            num_seeds=mode["num_seeds"], num_samples=mode["num_samples"],
+            batch_size=args.batch_size, cond_mode=cond_mode,
+            log=log_lib.log,
         )
-        else None,
-    )
-    summary = evaluate_humanact12(
-        sample_fn, fk_fn, dataset, evaluation,
-        num_seeds=mode["num_seeds"], num_samples=mode["num_samples"],
-        batch_size=args.batch_size,
-        cond_mode="no_cond" if args.unconstrained else "action",
-        log=log_lib.log,
-    )
+    else:
+        evaluation = A2MEvaluation(
+            checkpoint_path=_existing(
+                os.environ.get(
+                    "A2M_CLASSIFIER_PATH",
+                    "assets/actionrecognition/humanact12_gru.tar",
+                )
+            ),
+        )
+        summary = evaluate_humanact12(
+            sample_fn, fk_fn, dataset, evaluation,
+            num_seeds=mode["num_seeds"], num_samples=mode["num_samples"],
+            batch_size=args.batch_size, cond_mode=cond_mode,
+            log=log_lib.log,
+        )
+        if args.unconstrained:
+            from gesturediffusion_tpu.eval.eval_unconstrained import (
+                UnconstrainedEvaluator,
+            )
+
+            # full protocol uses 1000 unconstrained samples
+            # (reference: gru_eval.py:17,112)
+            n_unconstrained = (
+                1000 if args.eval_mode == "full" else mode["num_samples"]
+            )
+            evaluator = UnconstrainedEvaluator(
+                checkpoint_path=_existing(
+                    os.environ.get(
+                        "MODI_STGCN_PATH",
+                        "assets/actionrecognition/"
+                        "humanact12_gru_modi_struct.pth.tar",
+                    )
+                ),
+            )
+            summary.update(
+                evaluate_unconstrained_branch(
+                    sample_fn, fk_fn, dataset,
+                    num_samples=n_unconstrained,
+                    batch_size=args.batch_size,
+                    dataset_npy_path=os.environ.get(
+                        "UNCONSTRAINED_DATASET_PATH",
+                        os.path.join(
+                            args.data_dir or "dataset/HumanAct12Poses",
+                            "humanact12_unconstrained_modi_struct.npy",
+                        ),
+                    ),
+                    evaluator=evaluator,
+                    log=log_lib.log,
+                )
+            )
     out = os.path.join(
         os.path.dirname(args.model_path),
-        f"eval_humanact12_{args.eval_mode}.yaml",
+        f"eval_{args.dataset}_{args.eval_mode}.yaml",
     )
     save_metrics(out, summary)
     log_lib.log(f"saved metrics to {out}")

@@ -271,6 +271,37 @@ def _parents_from_kintree(data) -> tuple:
     return tuple(int(p) for p in parents)
 
 
+def save_synthetic_smpl_pickle(
+    path: str, n_vertices: int = 96, seed: int = 0
+) -> str:
+    """Write a random small SMPL model in the OFFICIAL pkl layout
+    (v_template / shapedirs [V,3,B] / posedirs [V,3,(J-1)*9] /
+    J_regressor / weights / kintree_table) so `load_smpl_pickle` and the
+    CLIs can be exercised hermetically without the real asset."""
+    import pickle
+
+    m = make_synthetic_smpl(n_vertices=n_vertices, seed=seed)
+    nj = 24
+    posedirs = np.asarray(m.posedirs).T.reshape(n_vertices, 3, (nj - 1) * 9)
+    kintree = np.zeros((2, nj), np.uint32)
+    kintree[0] = np.asarray(
+        [np.uint32(p) if p >= 0 else np.uint32(2**32 - 1)
+         for p in m.parents], np.uint32
+    )
+    kintree[1] = np.arange(nj, dtype=np.uint32)
+    data = {
+        "v_template": np.asarray(m.v_template),
+        "shapedirs": np.asarray(m.shapedirs),
+        "posedirs": posedirs,
+        "J_regressor": np.asarray(m.j_regressor),
+        "weights": np.asarray(m.lbs_weights),
+        "kintree_table": kintree,
+    }
+    with open(path, "wb") as f:
+        pickle.dump(data, f)
+    return path
+
+
 def make_synthetic_smpl(
     n_vertices: int = 128, n_betas: int = 10, seed: int = 0
 ) -> SMPLModel:
