@@ -28,7 +28,14 @@ class DataLoader:
         num_workers: int = 8,
         seed: int = 0,
         prefetch: int = 2,
+        process_count: int = 1,
+        process_index: int = 0,
     ):
+        """`batch_size` is the GLOBAL batch.  Under multi-host training
+        (process_count > 1) every process builds the same shuffled index
+        sequence (shared seed) and loads only its contiguous slice of each
+        global batch; `parallel.distributed.make_global_batch` assembles
+        the sharded global array from the local shard."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.collate_fn = collate_fn
@@ -37,6 +44,18 @@ class DataLoader:
         self.num_workers = max(1, num_workers)
         self.prefetch = prefetch
         self._rng = np.random.RandomState(seed)
+        if batch_size % process_count != 0:
+            raise ValueError(
+                f"global batch {batch_size} not divisible by "
+                f"{process_count} processes"
+            )
+        if not 0 <= process_index < process_count:
+            raise ValueError(
+                f"process_index {process_index} out of range "
+                f"[0, {process_count})"
+            )
+        self.process_count = process_count
+        self.process_index = process_index
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -49,10 +68,15 @@ class DataLoader:
         if self.shuffle:
             self._rng.shuffle(idx)
         nb = len(self)
-        return [
+        batches = [
             idx[i * self.batch_size : (i + 1) * self.batch_size]
             for i in range(nb)
         ]
+        if self.process_count > 1:
+            per = self.batch_size // self.process_count
+            lo = self.process_index * per
+            batches = [b[lo : lo + per] for b in batches]
+        return batches
 
     def __iter__(self) -> Iterator:
         batches = self._batches()

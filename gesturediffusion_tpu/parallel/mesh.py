@@ -49,8 +49,20 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Device_put a host batch pytree with the batch axis sharded."""
+    """Place a host batch pytree with the batch axis sharded over 'data'.
+
+    Single-process: a plain device_put.  Multi-process (multi-host): the
+    input is this process's LOCAL shard and the result is the logically
+    global array (`jax.make_array_from_process_local_data`), matching the
+    per-process loader slices (data/loader.py)."""
     sh = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                sh, np.asarray(x)
+            ),
+            batch,
+        )
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
 
 

@@ -74,6 +74,12 @@ class TrainState:
     opt_state: Any
     ema_params: Any
     sampler: Any
+    # cumulative count of steps whose update was skipped because the loss
+    # or grads were non-finite (self-healing; mirrors the role of the
+    # reference's fp16 overflow back-off, fp16_util.py:189-207)
+    nonfinite_skips: jax.Array = flax.struct.field(
+        default_factory=lambda: jnp.asarray(0, jnp.int32)
+    )
 
 
 def quartile_means(t: jax.Array, values: jax.Array, num_timesteps: int):
@@ -143,8 +149,21 @@ def make_train_step(
         (loss, terms), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params
         )
+        grad_norm = global_norm(grads)
+        # Self-heal on non-finite loss/grads: keep the old state and count
+        # the skip instead of poisoning params (per-step, inside jit —
+        # reference analogue: fp16_util.py:189-207 overflow back-off).
+        ok = jnp.isfinite(loss) & jnp.isfinite(grad_norm)
+
+        def keep_new(new, old):
+            return jax.tree_util.tree_map(
+                lambda n, o: jnp.where(ok, n, o), new, old
+            )
+
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
+        new_params = keep_new(new_params, state.params)
+        new_opt_state = keep_new(new_opt_state, state.opt_state)
 
         if config.ema_rate > 0:
             new_ema = jax.tree_util.tree_map(
@@ -152,13 +171,18 @@ def make_train_step(
                 state.ema_params,
                 new_params,
             )
+            new_ema = keep_new(new_ema, state.ema_params)
         else:
             new_ema = state.ema_params
 
-        new_sampler = state.sampler.update_with_losses(t, terms["loss"])
+        new_sampler = keep_new(
+            state.sampler.update_with_losses(t, terms["loss"]), state.sampler
+        )
+        new_skips = state.nonfinite_skips + (1 - ok.astype(jnp.int32))
 
-        metrics = {"loss": loss, "grad_norm": global_norm(grads),
-                   "param_norm": global_norm(new_params)}
+        metrics = {"loss": loss, "grad_norm": grad_norm,
+                   "param_norm": global_norm(new_params),
+                   "nonfinite_skips": new_skips}
         for name, val in terms.items():
             metrics[name] = jnp.mean(val)
             for qname, qval in quartile_means(
@@ -172,6 +196,7 @@ def make_train_step(
             opt_state=new_opt_state,
             ema_params=new_ema,
             sampler=new_sampler,
+            nonfinite_skips=new_skips,
         )
         return new_state, metrics
 
@@ -250,6 +275,7 @@ class TrainLoop:
         # host-side mirror of state.step: reading back eagerly-created device
         # scalars can stall on tunneled TPU backends, so never int(state.step)
         self.host_step = 0
+        self._prev_skips = 0
 
     # ------------------------------------------------------------------ #
     # Checkpointing (Orbax; `model{step:09d}` naming contract)
@@ -322,14 +348,23 @@ class TrainLoop:
 
             if step % cfg.log_interval == 0:
                 metrics = jax.device_get(metrics)
-                if not np.isfinite(float(metrics["loss"])):
-                    # halt rather than burn steps on a poisoned state; the
-                    # latest checkpoint is the recovery point
+                skips = int(metrics.get("nonfinite_skips", 0))
+                if skips > self._prev_skips:
+                    # the jitted step already self-healed (update skipped,
+                    # params untouched) — surface it loudly
+                    log_lib.log(
+                        f"WARNING: {skips - self._prev_skips} non-finite "
+                        f"step(s) skipped since last log (total {skips})"
+                    )
+                if skips - self._prev_skips >= max(cfg.log_interval, 1):
+                    # every step in the window diverged — persistent
+                    # divergence, halt with the last clean state saved
                     self.save()
                     raise FloatingPointError(
-                        f"non-finite loss at step {step}: "
-                        f"{float(metrics['loss'])} — checkpoint saved"
+                        f"all {cfg.log_interval} steps since last log were "
+                        f"non-finite at step {step} — checkpoint saved"
                     )
+                self._prev_skips = skips
                 for k, v in metrics.items():
                     log_lib.logkv_mean(k, float(v))
                     if k in ("loss",):

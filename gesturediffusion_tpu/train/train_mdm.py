@@ -32,6 +32,13 @@ def main(argv=None):
     fixseed(args.seed)
     enable_compilation_cache()
 
+    # multi-host: env-gated jax.distributed.initialize BEFORE backend use
+    # (TPU-native replacement for the reference's MPI rank infra,
+    # utils/dist_util.py:12-41)
+    from gesturediffusion_tpu.parallel import distributed as dist_lib
+
+    dist_lib.maybe_initialize()
+
     train_platform = create_platform(args.train_platform_type, args.save_dir)
     train_platform.report_args(vars(args), name="Args")
 
@@ -49,6 +56,9 @@ def main(argv=None):
         datapath=args.data_dir or None,
         n_seed_poses=args.seed_poses,
         seed=args.seed,
+        # per-process slice of each global batch under multi-host
+        process_count=dist_lib.process_count(),
+        process_index=dist_lib.process_index(),
     )
 
     log_lib.log("creating model and diffusion...")

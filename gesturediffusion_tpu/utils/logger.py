@@ -2,7 +2,8 @@
 
 Functional parity surface with the reference's OpenAI-baselines logger
 (reference: diffusion/logger.py — logkv/logkv_mean/dumpkvs:212-240,
-stdout/csv/json sinks :36-148, profile_kv wall-time scopes :293-317).
+stdout/csv/json sinks :36-148, profile_kv wall-time scopes :293-317,
+`configure` honoring OPENAI_LOGDIR / OPENAI_LOG_FORMAT env :442-467).
 Single-process by design: under GSPMD there is one logical program, so the
 MPI rank plumbing disappears.
 """
@@ -132,12 +133,72 @@ class Logger:
             )
 
 
+class TensorBoardOutputFormat(KVWriter):
+    """Scalar sink via torch's SummaryWriter (optional dependency), matching
+    the reference's 'tensorboard' format choice (diffusion/logger.py:150)."""
+
+    def __init__(self, dir: str):
+        from torch.utils.tensorboard import SummaryWriter  # optional dep
+
+        os.makedirs(dir, exist_ok=True)
+        self.writer = SummaryWriter(log_dir=dir)
+        self.step = 1
+
+    def writekvs(self, kvs: dict) -> None:
+        for k, v in kvs.items():
+            if hasattr(v, "__float__"):
+                self.writer.add_scalar(k, float(v), self.step)
+        self.writer.flush()
+        self.step += 1
+
+
+def make_output_format(fmt: str, ev_dir: Optional[str],
+                       log_suffix: str = "") -> KVWriter:
+    """Format-name -> sink (reference: diffusion/logger.py:160-190)."""
+    if fmt == "stdout":
+        return HumanOutputFormat(sys.stdout)
+    assert ev_dir is not None, f"format {fmt!r} needs a log dir"
+    os.makedirs(ev_dir, exist_ok=True)
+    if fmt == "log":
+        return HumanOutputFormat(
+            open(os.path.join(ev_dir, f"log{log_suffix}.txt"), "at")
+        )
+    if fmt == "json":
+        return JSONOutputFormat(
+            os.path.join(ev_dir, f"progress{log_suffix}.json")
+        )
+    if fmt == "csv":
+        return CSVOutputFormat(
+            os.path.join(ev_dir, f"progress{log_suffix}.csv")
+        )
+    if fmt == "tensorboard":
+        return TensorBoardOutputFormat(
+            os.path.join(ev_dir, f"tb{log_suffix}")
+        )
+    raise ValueError(f"Unknown format specified: {fmt}")
+
+
 _GLOBAL: Optional[Logger] = None
 
 
-def configure(dir: Optional[str] = None) -> Logger:
+def configure(
+    dir: Optional[str] = None, format_strs: Optional[list] = None
+) -> Logger:
+    """Configure the global logger.  Env contract matches the reference
+    (diffusion/logger.py:442-467): OPENAI_LOGDIR overrides the dir and
+    OPENAI_LOG_FORMAT is a comma-separated sink list
+    (stdout,log,json,csv,tensorboard)."""
     global _GLOBAL
-    _GLOBAL = Logger(dir=dir)
+    dir = os.environ.get("OPENAI_LOGDIR") or dir
+    if format_strs is None:
+        env_fmt = os.environ.get("OPENAI_LOG_FORMAT")
+        if env_fmt:
+            format_strs = [f for f in env_fmt.split(",") if f]
+    if format_strs is not None:
+        output_formats = [make_output_format(f, dir) for f in format_strs]
+        _GLOBAL = Logger(dir=dir, output_formats=output_formats)
+    else:
+        _GLOBAL = Logger(dir=dir)
     return _GLOBAL
 
 

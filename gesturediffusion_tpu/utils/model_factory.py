@@ -55,22 +55,31 @@ def get_model_args(args, data=None) -> dict:
 
 def create_model(args, data=None):
     """Pick the denoiser family per dataset/flags."""
+    arch = getattr(args, "arch", "trans_enc")
+    if arch != "trans_enc":
+        # The reference parser accepts trans_dec/gru (parser_util.py:72-74)
+        # but its model code never builds them in this fork and all released
+        # checkpoints are trans_enc — fail loudly instead of silently
+        # building the wrong architecture.
+        raise NotImplementedError(
+            f"--arch {arch!r} is accepted for flag parity with the "
+            "reference, but only 'trans_enc' can be built (the reference "
+            "fork's trans_dec/gru choices are vestigial)."
+        )
     kw = get_model_args(args, data)
     dataset = args.dataset
     if dataset in GESTURE_DATASETS:
-        if getattr(args, "arch", "trans_enc") == "trans_enc":
-            use_wav_enc = getattr(args, "use_wav_enc", False)
-            # audio features are required: MFCCs unless the wav encoder
-            # was explicitly requested
-            mfcc_input = getattr(args, "mfcc_input", False) or not use_wav_enc
-            return MDM(
-                use_text=args.use_text,
-                seed_poses=args.seed_poses,
-                mfcc_input=mfcc_input,
-                use_wav_enc=use_wav_enc,
-                **kw,
-            )
-        raise NotImplementedError(f"arch {args.arch} for gesture")
+        use_wav_enc = getattr(args, "use_wav_enc", False)
+        # audio features are required: MFCCs unless the wav encoder
+        # was explicitly requested
+        mfcc_input = getattr(args, "mfcc_input", False) or not use_wav_enc
+        return MDM(
+            use_text=args.use_text,
+            seed_poses=args.seed_poses,
+            mfcc_input=mfcc_input,
+            use_wav_enc=use_wav_enc,
+            **kw,
+        )
     if dataset in ("humanml", "kit"):
         cond_mode = "no_cond" if args.unconstrained else "text"
         return MotionMDM(cond_mode=cond_mode, **kw)

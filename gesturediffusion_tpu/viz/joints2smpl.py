@@ -3,13 +3,15 @@
 Functional parity surface with the reference fitting stack
 (reference: visualize/simplify_loc2rot.py:13-59 joints2smpl (150 iters,
 22-joint xyz -> SMPL thetas), visualize/joints2smpl/src/smplify.py:44
-SMPLify3D two-stage optimization — camera/global stage then body stage —
-with 3D keypoint loss; the GMM pose prior (gmm_08.pkl) is an external
-asset and is applied when present).
+SMPLify3D two-stage optimization — camera/global stage then body stage;
+visualize/joints2smpl/src/customloss.py:128 body_fitting_loss_3d with
+gmof robust joint loss, GMM pose prior (prior.py:99 over gmm_08.pkl),
+knee/elbow angle prior).
 
 TPU design: the reference's LBFGS loops become a jitted optax adam loop
 (value_and_grad through the LBS); the whole fit runs on device with all
-frames batched.
+frames batched.  When gmm_08.pkl is absent a plain L2 body-pose prior
+stands in (loudly logged).
 """
 
 from __future__ import annotations
@@ -23,6 +25,20 @@ import optax
 
 from gesturediffusion_tpu.models.smpl import SMPLModel
 from gesturediffusion_tpu.ops import rotations as R
+from gesturediffusion_tpu.viz.prior import MaxMixturePrior, angle_prior
+
+# reference: customloss.py:132-134
+POSE_PRIOR_WEIGHT = 4.78 * 1.5
+ANGLE_PRIOR_WEIGHT = 15.2
+JOINT_LOSS_WEIGHT = 500.0
+GMOF_SIGMA = 100.0
+
+
+def gmof(x: jnp.ndarray, sigma: float) -> jnp.ndarray:
+    """Geman–McClure robust error (reference: customloss.py:12-19)."""
+    x2 = x**2
+    s2 = sigma**2
+    return (s2 * x2) / (s2 + x2)
 
 
 def _fk_joints(smpl: SMPLModel, pose_aa: jax.Array, transl: jax.Array):
@@ -41,12 +57,27 @@ def joints2smpl(
     lr: float = 0.02,
     init_pose: Optional[np.ndarray] = None,
     joint_subset: Optional[np.ndarray] = None,
+    pose_prior: Optional[MaxMixturePrior] = None,
 ) -> dict:
     """Fit per-frame SMPL axis-angle poses + root translation to joints.
 
+    Stage 2 uses the reference's body-fitting objective
+    (customloss.py:128-188): gmof robust joint loss + GMM pose prior +
+    knee/elbow angle prior.  Without `pose_prior` an L2 body-pose prior
+    substitutes (logged loudly; provide gmm_08.pkl via
+    `viz.prior.load_gmm_prior` for reference parity).
+
     Returns {'thetas': [T, 24, 3] axis-angle, 'root_translation': [T, 3],
-    'loss': final per-stage losses}.
+    'loss': keypoint mean-squared error after each stage}.
     """
+    if pose_prior is None:
+        from gesturediffusion_tpu.utils import logger as log_lib
+
+        log_lib.log(
+            "WARNING: joints2smpl running WITHOUT the GMM pose prior "
+            "(gmm_08.pkl not provided) — using an L2 body-pose prior; "
+            "fits will differ from the reference objective."
+        )
     t = joints.shape[0]
     target = jnp.asarray(joints[:, :24] if joints.shape[1] >= 24
                          else joints, jnp.float32)
@@ -64,15 +95,31 @@ def joints2smpl(
     )
     transl0 = target[:, 0] - _fk_joints(smpl, pose0, jnp.zeros((t, 3)))[:, 0]
 
-    def keypoint_loss(params, fit_pose: bool):
+    def keypoint_err(params):
         pose, transl = params
         pred = _fk_joints(smpl, pose, transl)
         err = pred[:, subset] - target[:, subset]
-        loss = jnp.mean(jnp.sum(err**2, -1))
-        if fit_pose:
-            # mild pose regularizer standing in for the GMM prior
-            loss = loss + 1e-4 * jnp.mean(pose[:, 1:] ** 2)
-        return loss
+        return jnp.mean(jnp.sum(err**2, -1))
+
+    def objective(params, fit_pose: bool):
+        pose, transl = params
+        pred = _fk_joints(smpl, pose, transl)
+        err = pred[:, subset] - target[:, subset]
+        if not fit_pose:
+            # stage 1 (camera/global): plain squared 3D keypoint error
+            # (reference: smplify.py:168, customloss.py:191-222)
+            return jnp.mean(jnp.sum(err**2, -1))
+        # stage 2 (body): reference body_fitting_loss_3d form
+        joint_loss = (JOINT_LOSS_WEIGHT**2) * jnp.sum(
+            gmof(err, GMOF_SIGMA), axis=(-1, -2)
+        )
+        body = pose[:, 1:].reshape(pose.shape[0], -1)
+        ang = (ANGLE_PRIOR_WEIGHT**2) * jnp.sum(angle_prior(body), -1)
+        if pose_prior is not None:
+            pp = (POSE_PRIOR_WEIGHT**2) * pose_prior(body)
+        else:
+            pp = (POSE_PRIOR_WEIGHT**2) * jnp.sum(body**2, -1)
+        return jnp.sum(joint_loss + ang + pp)
 
     tx = optax.adam(lr)
 
@@ -84,7 +131,7 @@ def joints2smpl(
 
         def step(carry, _):
             params, opt_state = carry
-            loss, grads = jax.value_and_grad(keypoint_loss)(params, fit_pose)
+            loss, grads = jax.value_and_grad(objective)(params, fit_pose)
             if not fit_pose:
                 # stage 1: only global orient + translation move
                 gp, gt = grads
@@ -94,10 +141,10 @@ def joints2smpl(
             params = optax.apply_updates(params, updates)
             return (params, opt_state), loss
 
-        (params, _), losses = jax.lax.scan(
+        (params, _), _ = jax.lax.scan(
             step, (params, opt_state), None, length=num_smplify_iters
         )
-        return params, losses[-1]
+        return params, keypoint_err(params)
 
     # stage 1: camera/global (reference: smplify.py:168)
     params, loss1 = run_stage((pose0, transl0), False)

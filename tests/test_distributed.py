@@ -1,0 +1,88 @@
+"""Multi-host scaffolding: per-process batch slicing + global assembly.
+
+Real multi-host can't run here; correctness bar is the index math and the
+single-process `make_array_from_process_local_data` path over the virtual
+8-device CPU mesh (conftest forces cpu with 8 devices).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gesturediffusion_tpu.data.collate import collate_gesture
+from gesturediffusion_tpu.data.loader import DataLoader
+from gesturediffusion_tpu.data.synthetic import SyntheticGesture
+from gesturediffusion_tpu.parallel import distributed as dist_lib
+from gesturediffusion_tpu.parallel import mesh as mesh_lib
+
+
+class TestLocalBatchSlice:
+    def test_slices_partition_the_batch(self):
+        n_proc, bs = 4, 32
+        seen = []
+        for pid in range(n_proc):
+            s = dist_lib.local_batch_slice(bs, n_proc, pid)
+            seen.extend(range(bs)[s])
+        assert sorted(seen) == list(range(bs))
+
+    def test_indivisible_batch_raises(self):
+        with pytest.raises(ValueError):
+            dist_lib.local_batch_slice(10, 3, 0)
+
+    def test_bad_process_id_raises(self):
+        with pytest.raises(ValueError):
+            dist_lib.local_batch_slice(8, 2, 2)
+
+
+class TestPerProcessLoader:
+    def _loaders(self, n_proc):
+        ds = SyntheticGesture(n_items=32, window=12, pose_dim=8,
+                              n_seed_poses=2)
+        mk = lambda pc, pi: DataLoader(  # noqa: E731
+            ds, batch_size=8, collate_fn=collate_gesture, shuffle=True,
+            num_workers=1, seed=7, process_count=pc, process_index=pi,
+        )
+        return mk(1, 0), [mk(n_proc, i) for i in range(n_proc)]
+
+    def test_process_shards_partition_each_global_batch(self):
+        full, shards = self._loaders(2)
+        full_batches = [m for m, _ in full]
+        shard_batches = [[m for m, _ in ld] for ld in shards]
+        assert len(full_batches) == len(shard_batches[0])
+        for k, fb in enumerate(full_batches):
+            got = np.concatenate([shard_batches[p][k] for p in range(2)], 0)
+            np.testing.assert_array_equal(got, fb)
+
+    def test_local_batch_size(self):
+        _, shards = self._loaders(4)
+        m, cond = next(iter(shards[0]))
+        assert m.shape[0] == 2  # 8 global / 4 processes
+
+    def test_indivisible_raises(self):
+        ds = SyntheticGesture(n_items=8, window=12, pose_dim=8,
+                              n_seed_poses=2)
+        with pytest.raises(ValueError):
+            DataLoader(ds, batch_size=8, collate_fn=collate_gesture,
+                       process_count=3)
+
+
+class TestGlobalAssembly:
+    def test_make_global_batch_single_process(self):
+        mesh = mesh_lib.make_mesh()
+        x = np.arange(8 * 3, dtype=np.float32).reshape(8, 3)
+        arr = dist_lib.make_global_batch(mesh, {"x": x})["x"]
+        assert arr.shape == (8, 3)
+        np.testing.assert_array_equal(np.asarray(arr), x)
+        # sharded over the data axis
+        assert len(arr.sharding.device_set) == mesh.shape["data"]
+
+    def test_shard_batch_matches_device_put(self):
+        mesh = mesh_lib.make_mesh()
+        x = np.random.RandomState(0).randn(8, 4).astype(np.float32)
+        a = mesh_lib.shard_batch(mesh, {"x": jnp.asarray(x)})["x"]
+        np.testing.assert_array_equal(np.asarray(a), x)
+
+    def test_maybe_initialize_is_noop_without_env(self, monkeypatch):
+        monkeypatch.delenv("GDT_COORDINATOR_ADDRESS", raising=False)
+        assert dist_lib.maybe_initialize() is False

@@ -80,6 +80,43 @@ class TestTrainStep:
         assert np.all(np.isfinite(losses))
         assert np.mean(losses[-5:]) < np.mean(losses[:5])
 
+    def test_nonfinite_batch_skips_update_and_training_continues(
+        self, tmp_path
+    ):
+        """A NaN batch must not poison params: the jitted step skips the
+        update, bumps the skip counter, and the next clean step proceeds."""
+        loop = tiny_setup(tmp_path, num_steps=3)
+        from gesturediffusion_tpu.data.collate import device_cond
+
+        motion, cond = next(iter(loop.data))
+        dcond = {k: jnp.asarray(v) for k, v in device_cond(cond).items()}
+        motion = jnp.asarray(motion)
+        params_before = jax.tree_util.tree_map(np.asarray, loop.state.params)
+
+        bad = motion.at[0, 0, 0, 0].set(jnp.nan)
+        loop.state, metrics = loop.train_step(loop.state, bad, dcond, loop.rng)
+        assert int(metrics["nonfinite_skips"]) == 1
+        assert not np.isfinite(float(metrics["loss"]))
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_array_equal(np.asarray(a), b),
+            loop.state.params,
+            params_before,
+        )
+
+        loop.state, metrics = loop.train_step(
+            loop.state, motion, dcond, loop.rng
+        )
+        assert int(metrics["nonfinite_skips"]) == 1
+        assert np.isfinite(float(metrics["loss"]))
+        changed = any(
+            not np.array_equal(np.asarray(a), b)
+            for a, b in zip(
+                jax.tree_util.tree_leaves(loop.state.params),
+                jax.tree_util.tree_leaves(params_before),
+            )
+        )
+        assert changed
+
     def test_run_loop_and_checkpoint(self, tmp_path):
         os.environ["DIFFUSION_TRAINING_TEST"] = "1"
         try:
