@@ -1,16 +1,43 @@
-"""Headline benchmark: HumanML3D-config sampling throughput per chip.
+"""Headline benchmark: GENEA gesture chunked-AR throughput per chip.
 
-Measures the north-star metric from BASELINE.json: samples/sec/chip on the
-1000-step DDPM loop with classifier-free guidance, using the
-humanml-encoder-512 model configuration (8 layers, d=512, 263-dim pose,
-196 frames, batch 32, guidance 2.5).  The whole chain runs as one on-device
-lax.scan with the CFG pair batched (2x32 effective batch per step).
+The fork's production path (its raison d'être) is chunked autoregressive
+gesture generation: 1000-step DDPM + batched CFG per 80-frame chunk with
+seed hand-off between chunks (reference: sample/generate.py:91-130).  The
+headline metric is 80-frame take-chunks/sec/chip, measured over a FULL
+take (14 chunks, the reference layout) running as ONE device program
+(outer lax.scan over chunks, inner scan over denoise steps).
 
-vs_baseline: the reference publishes no direct throughput number; the
-anchor is derived from its own wall-clocks (BASELINE.md): the T2M eval —
-~20h for 20 replications over the HumanML3D test split (~4384 prompts,
-batch 32, 1000 DDPM steps, 2 sequential CFG passes) — implies ≈1.2
-samples/sec on the reference's single GPU.  vs_baseline = ours / 1.2.
+vs_baseline: the reference publishes no throughput number; the anchor is
+derived from its own wall-clocks (BASELINE.md): the T2M eval — ~20h for
+20 replications over the HumanML3D test split (~4384 prompts, batch 32,
+1000 DDPM steps, 2 sequential CFG passes) — implies ≈1.2 samples/sec on
+the reference's single GPU.  The gesture anchor scales that by the
+per-forward cost ratio (t2m: 197 tokens × d512 vs gesture: 81 tokens ×
+d256 encoder) and the 41-take chunk batch:
+anchor ≈ 1.2 × (41/32) × 6.49 ≈ 10.0 take-chunks/sec.
+
+Perf notes (measured on v5e, this round; r1 -> r2 gesture
+25.8 -> ~40 take-chunks/s, t2m 7.94 -> ~10.3 samples/s):
+  * local attention runs as a dense band-masked [T,T] matmul at T<=256
+    (ops/local_attention.py local_attention_dense) — the windowed/Pallas
+    gather formulations lose badly at short T (0.41 -> 0.05 ms/step).
+  * each encoder layer runs as ONE fused Pallas kernel with activations
+    resident in VMEM (ops/pallas_encoder.py; use_fused_encoder=True,
+    identical param tree to the XLA path): -10% gesture chunk time,
+    -23% t2m batch time vs XLA fusion.
+  * bf16 activations (flax dtype threading) win another ~7% for the
+    d256 gesture model; they HURT the d512 t2m model (f32 matmuls
+    already run as single bf16 MXU passes on v5e — casts are pure
+    overhead there), so t2m stays f32.
+  * batch>=164 throughput cliff (round-1 open question): localized to
+    the global encoder — per-layer attention scores ([2B,4,81,81] f32)
+    grow past VMEM-friendly fusion and get materialized to HBM (2.0x
+    time at B 164->328, 3.26x at 328->656 in the XLA path).
+    Mitigations: the fused layer keeps scores in VMEM by construction;
+    otherwise keep per-chip chunk batch <= 164.
+
+GDT_BENCH_CONFIG=humanml reports the round-1 secondary metric
+(HumanML3D samples/sec/chip, batch 32, guidance 2.5).
 """
 
 import json
@@ -26,69 +53,72 @@ import numpy as np
 
 REFERENCE_SAMPLES_PER_SEC = 1.2  # derived from README.md:379 wall-clock
 
-
-# Derived gesture anchor: the reference runs one 1000-step chain with 2
-# sequential CFG passes per chunk (sample/generate.py:91-130), same
-# structure as its T2M eval loop that implies 1.2 samples/sec (above).
-# Scale that anchor by batch (41 takes/chunk vs 32) and per-forward cost
-# (t2m: 197 tokens x d512 vs gesture: 81 tokens x d256 encoder):
+# Compute-adjusted gesture anchor (see module docstring).
 _T2M_FWD_COST = 197 * (4 * 512**2 + 2 * 512 * 1024)
 _GESTURE_FWD_COST = 81 * (4 * 256**2 + 2 * 256 * 1024)
 REFERENCE_GESTURE_CHUNKS_PER_SEC = (
     REFERENCE_SAMPLES_PER_SEC * (41 / 32) * (_T2M_FWD_COST / _GESTURE_FWD_COST)
-)  # ~14.7 take-chunks/sec
+)  # ~10.0 take-chunks/sec
 
 
 def bench_gesture():
-    """Secondary config (GDT_BENCH_CONFIG=gesture): MDM-V2 chunked-AR
-    gesture throughput — 1000-step DDPM + CFG per 80-frame chunk with
-    seed hand-off, the fork's production path (sample/generate.py:91-130).
-    Reports 80-frame take-chunks/sec/chip."""
+    """Headline: MDM-V2 chunked-AR gesture throughput — a full 41-take,
+    14-chunk GENEA take as one on-device program."""
     from gesturediffusion_tpu.diffusion import ModelMeanType, create_diffusion
-    from gesturediffusion_tpu.diffusion.sampling import p_sample_loop
+    from gesturediffusion_tpu.diffusion.sampling import (
+        autoregressive_sample_loop,
+    )
     from gesturediffusion_tpu.models.cfg import classifier_free_guidance
     from gesturediffusion_tpu.models.mdm import MDM
     from gesturediffusion_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
-    B, J, T, S = 41, 498, 80, 10  # 41 takes per chunk (reference layout)
+    B, J, T, S = 41, 498, 80, 10   # 41 takes/chunk (reference layout)
+    C = 14                         # chunks per take (reference layout)
+    use_bf16 = os.environ.get("GDT_BENCH_DTYPE", "bf16") == "bf16"
     model = MDM(njoints=J, latent_dim=256, num_layers=8, ff_size=1024,
-                seed_poses=S, cond_mask_prob=0.1)
+                seed_poses=S, cond_mask_prob=0.1,
+                use_fused_encoder=True,
+                dtype=jnp.bfloat16 if use_bf16 else jnp.float32)
     diffusion = create_diffusion(
         steps=1000, model_mean_type=ModelMeanType.START_X
     )
     rs = np.random.RandomState(0)
     x0 = jnp.asarray(rs.randn(B, J, 1, T), jnp.float32)
-    cond = {
+    cond_init = {
         "mfcc": jnp.asarray(rs.randn(B, 26, 1, T), jnp.float32),
         "seed": jnp.asarray(rs.randn(B, J, 1, S), jnp.float32),
-        "scale": jnp.full((B,), 2.5, jnp.float32),
     }
     params = model.init(
-        jax.random.PRNGKey(0), x0, jnp.zeros((B,), jnp.int32),
-        {k: v for k, v in cond.items() if k != "scale"},
+        jax.random.PRNGKey(0), x0, jnp.zeros((B,), jnp.int32), cond_init
     )
     model_fn = classifier_free_guidance(
         lambda x, t, c: model.apply(params, x, t, c), 0.1
     )
+    chunk_conds = {
+        "mfcc": jnp.asarray(rs.randn(C, B, 26, 1, T), jnp.float32),
+        "scale": jnp.full((C, B), 2.5, jnp.float32),
+    }
 
     @jax.jit
-    def chunk(rng, c):
-        return p_sample_loop(diffusion, model_fn, (B, J, 1, T), rng, c)
+    def take(rng, cc, seed0):
+        return autoregressive_sample_loop(
+            diffusion, model_fn, (B, J, 1, T), rng, cc, seed0, S
+        )
 
-    out = jax.block_until_ready(chunk(jax.random.PRNGKey(0), cond))
-    n_chunks = 3
+    out = jax.block_until_ready(
+        take(jax.random.PRNGKey(0), chunk_conds, cond_init["seed"])
+    )
+    assert bool(jnp.all(jnp.isfinite(out))), "non-finite samples"
+    n_takes_timed = int(os.environ.get("GDT_BENCH_ITERS", "2"))
     t0 = time.perf_counter()
-    for i in range(n_chunks):
-        # autoregressive seed hand-off between chunks
-        c = dict(cond, seed=out[..., -S:])
-        out = chunk(jax.random.PRNGKey(i + 1), c)
+    for i in range(n_takes_timed):
+        out = take(jax.random.PRNGKey(i + 1), chunk_conds, cond_init["seed"])
     jax.block_until_ready(out)
     elapsed = time.perf_counter() - t0
-    takes_sec = B * n_chunks / elapsed
-    per_chip = takes_sec / jax.device_count()
+    per_chip = (B * C * n_takes_timed / elapsed) / jax.device_count()
     print(json.dumps({
-        "metric": "genea_ddpm1000_cfg_take_chunks_per_sec_per_chip",
+        "metric": "genea_take14_ddpm1000_cfg_take_chunks_per_sec_per_chip",
         "value": round(per_chip, 4),
         "unit": "80-frame chunks/sec/chip",
         "vs_baseline": round(
@@ -97,9 +127,12 @@ def bench_gesture():
     }))
 
 
-def main():
-    if os.environ.get("GDT_BENCH_CONFIG", "humanml") == "gesture":
-        return bench_gesture()
+def bench_humanml():
+    """Secondary (GDT_BENCH_CONFIG=humanml): HumanML3D samples/sec/chip on
+    the 1000-step DDPM loop with batched CFG (humanml-encoder-512 config).
+    f32 activations: on v5e, f32 matmuls already run as single bf16 MXU
+    passes, and bf16 activations measured SLOWER for this d512 model
+    (cast overhead > HBM savings)."""
     from gesturediffusion_tpu.diffusion import ModelMeanType, create_diffusion
     from gesturediffusion_tpu.diffusion.sampling import p_sample_loop
     from gesturediffusion_tpu.models.cfg import classifier_free_guidance
@@ -109,11 +142,9 @@ def main():
     enable_compilation_cache()
 
     B, J, T = 32, 263, 196
-    use_bf16 = os.environ.get("GDT_BENCH_DTYPE", "bf16") == "bf16"
-    dtype = jnp.bfloat16 if use_bf16 else jnp.float32
-
     model = MotionMDM(njoints=J, latent_dim=512, num_layers=8, ff_size=1024,
-                      cond_mode="text", cond_mask_prob=0.1)
+                      cond_mode="text", cond_mask_prob=0.1,
+                      use_fused_encoder=True)
     diffusion = create_diffusion(
         steps=1000, noise_schedule="cosine",
         model_mean_type=ModelMeanType.START_X,
@@ -128,16 +159,9 @@ def main():
     }
     params = model.init(jax.random.PRNGKey(0), x0, t0,
                         {"text_emb": cond["text_emb"]})
-    if use_bf16:
-        params = jax.tree_util.tree_map(
-            lambda p: p.astype(jnp.bfloat16), params
-        )
-
-    def base_model_fn(x, t, c):
-        out = model.apply(params, x.astype(dtype), t, c)
-        return out.astype(jnp.float32)
-
-    model_fn = classifier_free_guidance(base_model_fn, cond_mask_prob=0.1)
+    model_fn = classifier_free_guidance(
+        lambda x, t, c: model.apply(params, x, t, c), cond_mask_prob=0.1
+    )
 
     @jax.jit
     def sample(rng):
@@ -145,7 +169,6 @@ def main():
             diffusion, model_fn, (B, J, 1, T), rng, cond, clip_denoised=False
         )
 
-    # compile + warmup
     out = jax.block_until_ready(sample(jax.random.PRNGKey(0)))
     assert bool(jnp.all(jnp.isfinite(out))), "non-finite samples"
 
@@ -156,15 +179,19 @@ def main():
     jax.block_until_ready(out)
     elapsed = time.perf_counter() - t_start
 
-    samples_per_sec = (B * n_iters) / elapsed
-    n_chips = jax.device_count()
-    per_chip = samples_per_sec / n_chips
+    per_chip = (B * n_iters / elapsed) / jax.device_count()
     print(json.dumps({
         "metric": "humanml3d_ddpm1000_cfg_samples_per_sec_per_chip",
         "value": round(per_chip, 4),
         "unit": "samples/sec/chip",
         "vs_baseline": round(per_chip / REFERENCE_SAMPLES_PER_SEC, 3),
     }))
+
+
+def main():
+    if os.environ.get("GDT_BENCH_CONFIG", "gesture") == "humanml":
+        return bench_humanml()
+    return bench_gesture()
 
 
 if __name__ == "__main__":

@@ -354,6 +354,15 @@ class RawTextDataset:
             self.nlp = spacy.load("en_core_web_sm")
         except Exception:
             self.nlp = None
+            import warnings
+
+            warnings.warn(
+                "spacy (en_core_web_sm) unavailable — POS-tagging every "
+                "prompt token as OTHER.  Evaluator text embeddings will "
+                "silently degrade vs the reference protocol; install the "
+                "model for metric parity.",
+                stacklevel=2,
+            )
         self.data_dict = []
         with open(text_file) as f:
             for line in f:

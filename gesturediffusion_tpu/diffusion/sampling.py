@@ -387,6 +387,52 @@ def plms_sample_loop(
     return final
 
 
+def autoregressive_sample_loop(
+    diffusion: GaussianDiffusion,
+    model_fn: ModelFn,
+    shape: tuple[int, ...],
+    rng: jax.Array,
+    chunk_conds: Any,
+    init_seed: jax.Array,
+    seed_poses: int,
+    *,
+    loop: Callable = p_sample_loop,
+    clip_denoised: bool = False,
+) -> jax.Array:
+    """Chunked autoregressive generation as ONE device program.
+
+    The reference generates long takes chunk-by-chunk on the host, feeding
+    the last `seed_poses` frames of chunk k as the seed conditioning of
+    chunk k+1 (reference: sample/generate.py:91-130, hand-off :107).  Here
+    the whole take is an outer `lax.scan` over chunks whose body is the
+    full inner denoise scan — no per-chunk host dispatch or transfer.
+
+    Args:
+      chunk_conds: cond pytree with a leading chunk axis [C, ...] (the
+        per-chunk mask/lengths/mfcc/scale/... arrays, WITHOUT 'seed').
+      init_seed: [B, J, F, S] seed poses for the first chunk (dataset GT).
+      seed_poses: S, frames handed off between chunks.
+
+    Returns [C, B, J, F, T] samples for every chunk.
+    """
+
+    def body(carry, cond_c):
+        seed, k = carry
+        chunk_rng = jax.random.fold_in(rng, k)
+        cond = dict(cond_c)
+        cond["seed"] = seed
+        out = loop(
+            diffusion, model_fn, shape, chunk_rng, cond,
+            clip_denoised=clip_denoised,
+        )
+        return (out[..., -seed_poses:], k + 1), out
+
+    (_, _), outs = jax.lax.scan(
+        body, (init_seed, jnp.asarray(0, jnp.int32)), chunk_conds
+    )
+    return outs
+
+
 def make_sample_fn(
     diffusion: GaussianDiffusion, sampler: str = "ddpm", **default_kwargs
 ) -> Callable:

@@ -45,10 +45,12 @@ class SeedPoseEncoder(nn.Module):
     """Flattened seed poses -> latent (reference: model/mdm.py:382-392)."""
 
     latent_dim: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, flat_seed: jax.Array) -> jax.Array:
-        return nn.Dense(self.latent_dim, name="seed_embed")(flat_seed)
+        return nn.Dense(self.latent_dim, dtype=self.dtype,
+                        name="seed_embed")(flat_seed)
 
 
 class WavEncoder(nn.Module):
@@ -106,6 +108,9 @@ class MDM(nn.Module):
     cl_head: int = 8
     window_size: int = 10
     data_rep: str = "genea_vec"
+    # inference-only: run each encoder layer as one fused Pallas kernel
+    # (param tree unchanged; see models/transformer.py)
+    use_fused_encoder: bool = False
     dtype: Any = jnp.float32
 
     @property
@@ -134,6 +139,9 @@ class MDM(nn.Module):
         train: bool = False,
     ) -> jax.Array:
         bs, njoints, nfeats, nframes = x.shape
+        # computation dtype: params stay f32, activations in self.dtype
+        # (bf16 halves the HBM traffic of the non-matmul ops on TPU)
+        x = x.astype(self.dtype)
         if self.use_text and self.text_dim >= self.latent_dim:
             raise ValueError(
                 "text_dim must be < latent_dim (seed encoder gets the rest)"
@@ -158,7 +166,8 @@ class MDM(nn.Module):
         )
         if self.use_text:
             enc_text = cond["text_emb"].astype(x.dtype)  # [B, clip_dim]
-            emb_text = nn.Dense(self.text_dim, name="embed_text")(
+            emb_text = nn.Dense(self.text_dim, dtype=self.dtype,
+                                name="embed_text")(
                 self._mask_cond(enc_text, uncond, train, text_rng)
             )
 
@@ -167,13 +176,14 @@ class MDM(nn.Module):
         seed_latent = (
             self.latent_dim - self.text_dim if self.use_text else self.latent_dim
         )
-        emb_seed = SeedPoseEncoder(seed_latent, name="seed_pose_encoder")(
+        emb_seed = SeedPoseEncoder(seed_latent, dtype=self.dtype,
+                                   name="seed_pose_encoder")(
             self._mask_cond(flat_seed, uncond, train, seed_rng)
         )
 
         emb_t = TimestepEmbedder(self.latent_dim, name="embed_timestep")(
             timesteps
-        )  # [B, D]
+        ).astype(x.dtype)  # [B, D]
 
         if self.mfcc_input:
             emb_audio = cond["mfcc"][:, :, 0, :]  # [B, A, T]
@@ -193,7 +203,8 @@ class MDM(nn.Module):
 
         # pose: [B, J, F, T] -> [B, T, J*F] (all features, not just idx 0)
         pose = x.reshape(bs, njoints * nfeats, nframes).transpose(0, 2, 1)
-        emb_pose = nn.Dense(self.latent_dim, name="input_process")(pose)
+        emb_pose = nn.Dense(self.latent_dim, dtype=self.dtype,
+                            name="input_process")(pose)
 
         # ---- feature aggregation -------------------------------------- #
         fg = jnp.concatenate([emb_pose, emb_audio], axis=-1)  # [B, T, D+A]
@@ -204,7 +215,8 @@ class MDM(nn.Module):
         coa = stxt + emb_t  # [B, D] conditioning token
         coa_rep = jnp.broadcast_to(coa[:, None, :], (bs, nframes, self.latent_dim))
         embs = jnp.concatenate([fg, coa_rep], axis=-1)  # [B, T, 2D+A]
-        xseq = nn.Dense(self.latent_dim, name="project_to_lat")(embs)  # [B, T, D]
+        xseq = nn.Dense(self.latent_dim, dtype=self.dtype,
+                        name="project_to_lat")(embs)  # [B, T, D]
 
         # ---- cross-local attention over cl_head heads ----------------- #
         dh = self.latent_dim // self.cl_head
@@ -244,11 +256,14 @@ class MDM(nn.Module):
             dim_feedforward=self.ff_size,
             dropout=self.dropout,
             activation=self.activation,
+            use_fused_layer=self.use_fused_encoder and not train,
+            dtype=self.dtype,
             name="seqTransEncoder",
         )(xseq, deterministic=not train)
 
         out = out[:, 1:]  # drop conditioning token
-        out = nn.Dense(self.njoints * self.nfeats, name="output_process")(out)
+        out = nn.Dense(self.njoints * self.nfeats, dtype=self.dtype,
+                       name="output_process")(out)
         # [B, T, J*F] -> [B, J, F, T]
         out = out.reshape(bs, nframes, self.njoints, self.nfeats)
-        return out.transpose(0, 2, 3, 1)
+        return out.transpose(0, 2, 3, 1).astype(jnp.float32)

@@ -46,6 +46,8 @@ class MotionMDM(nn.Module):
     cond_mask_prob: float = 0.1
     num_actions: int = 12
     data_rep: str = "hml_vec"
+    # inference-only: run each encoder layer as one fused Pallas kernel
+    use_fused_encoder: bool = False
     dtype: Any = jnp.float32
 
     def _mask_cond(self, cond2d, uncond, train, rng=None):
@@ -68,6 +70,8 @@ class MotionMDM(nn.Module):
         train: bool = False,
     ) -> jax.Array:
         bs, njoints, nfeats, nframes = x.shape
+        # computation dtype: params stay f32, activations in self.dtype
+        x = x.astype(self.dtype)
         uncond = cond.get("uncond")
         if uncond is None:
             uncond = jnp.zeros((bs,), x.dtype)
@@ -77,16 +81,20 @@ class MotionMDM(nn.Module):
             else None
         )
 
-        emb = TimestepEmbedder(self.latent_dim, name="embed_timestep")(timesteps)
+        emb = TimestepEmbedder(self.latent_dim, name="embed_timestep")(
+            timesteps
+        ).astype(x.dtype)
 
         if self.cond_mode == "text":
             enc_text = cond["text_emb"].astype(x.dtype)
-            emb = emb + nn.Dense(self.latent_dim, name="embed_text")(
+            emb = emb + nn.Dense(self.latent_dim, dtype=self.dtype,
+                             name="embed_text")(
                 self._mask_cond(enc_text, uncond, train, mask_rng)
             )
         elif self.cond_mode == "action":
             onehot = jax.nn.one_hot(cond["action"], self.num_actions, dtype=x.dtype)
-            emb = emb + nn.Dense(self.latent_dim, name="embed_action")(
+            emb = emb + nn.Dense(self.latent_dim, dtype=self.dtype,
+                             name="embed_action")(
                 self._mask_cond(onehot, uncond, train, mask_rng)
             )
         elif self.cond_mode != "no_cond":
@@ -94,7 +102,8 @@ class MotionMDM(nn.Module):
 
         feats = x[:, :, :, :].reshape(bs, njoints * nfeats, nframes)
         feats = feats.transpose(0, 2, 1)  # [B, T, J*F]
-        h = nn.Dense(self.latent_dim, name="input_process")(feats)
+        h = nn.Dense(self.latent_dim, dtype=self.dtype,
+                     name="input_process")(feats)
 
         xseq = jnp.concatenate([emb[:, None, :], h], axis=1)  # [B, T+1, D]
         xseq = PositionalEncoding(
@@ -108,10 +117,13 @@ class MotionMDM(nn.Module):
             dim_feedforward=self.ff_size,
             dropout=self.dropout,
             activation=self.activation,
+            use_fused_layer=self.use_fused_encoder and not train,
+            dtype=self.dtype,
             name="seqTransEncoder",
         )(xseq, deterministic=not train)
 
         out = out[:, 1:]
-        out = nn.Dense(self.njoints * self.nfeats, name="output_process")(out)
+        out = nn.Dense(self.njoints * self.nfeats, dtype=self.dtype,
+                       name="output_process")(out)
         out = out.reshape(bs, nframes, self.njoints, self.nfeats)
-        return out.transpose(0, 2, 3, 1)
+        return out.transpose(0, 2, 3, 1).astype(jnp.float32)

@@ -121,3 +121,59 @@ def local_attention(
         "bwij,bwje->bwie", attn, bv, precision=jax.lax.Precision.HIGHEST
     )
     return out.reshape(b, h, t, d)
+
+
+def local_attention_dense(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    window_size: int,
+    causal: bool = True,
+    look_backward: int = 1,
+    look_forward: int = 0,
+    mask: Optional[jax.Array] = None,
+    dropout_rate: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
+    exact_windowsize: bool = False,
+) -> jax.Array:
+    """Banded attention as ONE dense [T, T] matmul with a static band mask.
+
+    Numerically identical to `local_attention` (same softmax domain per
+    query; dropout draws differ in shape only).  At short sequences
+    (T ≲ 256, the production gesture shapes) this is much faster on TPU
+    than the window-reshape formulation: a single MXU-friendly QK^T +
+    masked softmax + AV instead of pad/slice/concat gather chains —
+    the band structure only pays off once T·w ≪ T².
+    """
+    if causal and look_forward > 0:
+        raise ValueError("cannot look forward with causal attention")
+    b, h, t, d = q.shape
+    scale = d**-0.5
+    sim = (
+        jnp.einsum(
+            "bhid,bhjd->bhij", q, k, precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,  # f32 scores/softmax
+        )
+        * scale
+    )
+    i = jnp.arange(t, dtype=jnp.int32)[:, None]
+    j = jnp.arange(t, dtype=jnp.int32)[None, :]
+    wi, wj = i // window_size, j // window_size
+    allowed = (wi - wj <= look_backward) & (wj - wi <= look_forward)
+    if causal:
+        allowed = allowed & (j <= i)
+    if exact_windowsize and causal:
+        # (the windowed formulation above applies exact_windowsize only to
+        # the causal band, matching the reference's usage)
+        allowed = allowed & (i - j <= window_size * look_backward)
+    sim = jnp.where(allowed[None, None], sim, MASK_VALUE)
+    if mask is not None:
+        sim = jnp.where(mask[:, None, None, :], sim, MASK_VALUE)
+    attn = jax.nn.softmax(sim, axis=-1).astype(v.dtype)
+    if dropout_rate > 0.0 and dropout_rng is not None:
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, attn.shape)
+        attn = jnp.where(keep, attn / (1.0 - dropout_rate), 0.0)
+    return jnp.einsum(
+        "bhij,bhjd->bhid", attn, v, precision=jax.lax.Precision.HIGHEST
+    )

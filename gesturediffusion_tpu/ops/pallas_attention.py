@@ -153,20 +153,42 @@ def local_attention_pallas(
     return out.reshape(b, h, t, d)
 
 
+# below this length the dense band-masked formulation wins (scores tensor
+# is small enough that one [T,T] matmul beats window gather chains)
+LOCAL_ATTN_DENSE_MAX_T = 256
+
+
 def local_attention_auto(
     q, k, v, *, window_size: int, causal: bool = True,
     look_backward: int = 1, look_forward: int = 0, mask=None,
     dropout_rate: float = 0.0, dropout_rng=None,
 ):
-    """Dispatch: Pallas kernel on TPU for the supported band config,
-    XLA formulation otherwise (CPU tests, dropout, masks, exotic bands)."""
-    from gesturediffusion_tpu.ops.local_attention import local_attention
+    """Dispatch by shape/config:
 
+    * short sequences (T <= LOCAL_ATTN_DENSE_MAX_T, the production gesture
+      shapes): dense band-masked attention — one MXU matmul, no gathers;
+      measured ~8x faster than the windowed formulations at T=80 on v5e
+      (banded structure only pays once T·w << T²),
+    * long sequences on TPU with the simple band config: Pallas kernel,
+    * everything else: the windowed XLA formulation.
+    """
+    from gesturediffusion_tpu.ops.local_attention import (
+        local_attention,
+        local_attention_dense,
+    )
+
+    t = q.shape[2]
+    if t <= LOCAL_ATTN_DENSE_MAX_T:
+        return local_attention_dense(
+            q, k, v, window_size=window_size, causal=causal,
+            look_backward=look_backward, look_forward=look_forward,
+            mask=mask, dropout_rate=dropout_rate, dropout_rng=dropout_rng,
+        )
     on_tpu = jax.default_backend() == "tpu"
     simple_band = (
         causal and look_backward == 1 and look_forward == 0
         and mask is None and dropout_rate == 0.0
-        and q.shape[2] % window_size == 0
+        and t % window_size == 0
     )
     if on_tpu and simple_band:
         return local_attention_pallas(q, k, v, window_size=window_size)

@@ -8,10 +8,11 @@ chunked autoregressive sampling over takes (seed hand-off of the last
 results.npy/txt dump :208-216, stick-figure video :238, BVH export for
 generated and GT motion :246-284, audio mux :297-301.
 
-TPU design: the 14-chunk autoregressive outer loop stays host-side (it is
-sequential by construction), but each chunk is ONE on-device `lax.scan`
-over all denoise steps with the CFG pair batched — the reference's
-1000-step × 2-pass host loop per chunk collapses to a single device call.
+TPU design: the WHOLE take is one device program — an outer `lax.scan`
+over chunks (seed hand-off in the scan carry) whose body is the inner
+denoise scan with the CFG pair batched.  The reference's
+14 chunks × 1000 steps × 2 CFG passes of host round-trips collapse to a
+single dispatch (diffusion/sampling.py autoregressive_sample_loop).
 """
 
 from __future__ import annotations
@@ -122,15 +123,9 @@ def main(argv=None):
         "plms": sampling.plms_sample_loop,
     }[sampler_name]
 
-    @jax.jit
-    def sample_chunk(rng, cond):
-        return loop(diffusion, model_fn, shape, rng, cond, clip_denoised=False)
-
-    all_motions, all_rot, all_gt_pos, all_gt_rot = [], [], [], []
+    # ---- pre-collate every chunk host-side (cheap numpy) ------------ #
+    chunk_dconds, chunk_gts = [], []
     all_text, all_audio, all_lengths = [], [], []
-    sample_out = None
-    rng = jax.random.PRNGKey(args.seed)
-
     for chunk in range(chunks_per_take):
         items = []
         for take in range(n_takes):
@@ -139,35 +134,60 @@ def main(argv=None):
                 raise ValueError(f"chunk {chunk} out of range for take {take}")
             items.append(dataset[chunk_index])
         gt_motion, cond = collate_gesture(items, max_frames=args.num_frames)
-        dcond = {k: jnp.asarray(v) for k, v in device_cond(cond).items()}
-
-        if chunk > 0:
-            # autoregressive seed hand-off (reference :107)
-            dcond["seed"] = sample_out[..., -args.seed_poses :]
-        if args.guidance_param != 1:
-            dcond["scale"] = jnp.full((n_takes,), args.guidance_param)
-
-        log_lib.log(f"### Sampling chunk {chunk + 1} of {chunks_per_take}")
-        rng, step_rng = jax.random.split(rng)
-        sample_out = sample_chunk(step_rng, dcond)
-
-        sample_np = dataset.inv_transform(
-            np.asarray(sample_out)[:, :, 0, :].transpose(0, 2, 1)
-        )  # [B, T, D]
-        pos, rot = split_pose_vector(sample_np, n_joints)
-        gt_np = dataset.inv_transform(
-            gt_motion[:, :, 0, :].transpose(0, 2, 1)
-        )
-        gpos, grot = split_pose_vector(gt_np, n_joints)
-
-        all_motions.append(pos)       # [B, T, J, 3]
-        all_rot.append(rot)
-        all_gt_pos.append(gpos)
-        all_gt_rot.append(grot)
+        chunk_dconds.append(device_cond(cond))
+        chunk_gts.append(gt_motion)
         all_text += cond.get("text", [""] * n_takes)
         if "audio" in cond:
             all_audio.append(np.asarray(cond["audio"]))
         all_lengths.append(np.asarray(cond["lengths"]))
+
+    # first chunk's dataset seed initializes the AR carry; later chunks'
+    # dataset seeds are superseded by the hand-off (reference :104-107)
+    if "seed" in chunk_dconds[0]:
+        init_seed = jnp.asarray(chunk_dconds[0]["seed"])
+    else:
+        init_seed = jnp.zeros(
+            (n_takes, dataset.pose_dim, 1, args.seed_poses), jnp.float32
+        )
+    stacked_conds = {
+        k: jnp.asarray(np.stack([np.asarray(d[k]) for d in chunk_dconds]))
+        for k in chunk_dconds[0]
+        if k != "seed"
+    }
+    if args.guidance_param != 1:
+        stacked_conds["scale"] = jnp.full(
+            (chunks_per_take, n_takes), args.guidance_param
+        )
+
+    log_lib.log(
+        f"### Sampling all {chunks_per_take} chunks as one device program"
+    )
+
+    @jax.jit
+    def sample_take(rng, chunk_conds, seed0):
+        return sampling.autoregressive_sample_loop(
+            diffusion, model_fn, shape, rng, chunk_conds, seed0,
+            args.seed_poses, loop=loop, clip_denoised=False,
+        )
+
+    outs = np.asarray(
+        sample_take(jax.random.PRNGKey(args.seed), stacked_conds, init_seed)
+    )  # [C, B, J, 1, T]
+
+    all_motions, all_rot, all_gt_pos, all_gt_rot = [], [], [], []
+    for chunk in range(chunks_per_take):
+        sample_np = dataset.inv_transform(
+            outs[chunk][:, :, 0, :].transpose(0, 2, 1)
+        )  # [B, T, D]
+        pos, rot = split_pose_vector(sample_np, n_joints)
+        gt_np = dataset.inv_transform(
+            chunk_gts[chunk][:, :, 0, :].transpose(0, 2, 1)
+        )
+        gpos, grot = split_pose_vector(gt_np, n_joints)
+        all_motions.append(pos)       # [B, T, J, 3]
+        all_rot.append(rot)
+        all_gt_pos.append(gpos)
+        all_gt_rot.append(grot)
 
     motions = np.concatenate(all_motions, axis=1)  # [B, T_total, J, 3]
     rotations = np.concatenate(all_rot, axis=1)

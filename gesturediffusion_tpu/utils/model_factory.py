@@ -78,15 +78,24 @@ def create_model(args, data=None):
             seed_poses=args.seed_poses,
             mfcc_input=mfcc_input,
             use_wav_enc=use_wav_enc,
+            use_fused_encoder=getattr(args, "use_fused_encoder", False),
             **kw,
         )
     if dataset in ("humanml", "kit"):
         cond_mode = "no_cond" if args.unconstrained else "text"
-        return MotionMDM(cond_mode=cond_mode, **kw)
+        return MotionMDM(
+            cond_mode=cond_mode,
+            use_fused_encoder=getattr(args, "use_fused_encoder", False),
+            **kw,
+        )
     # action-to-motion / unconstrained
     cond_mode = "no_cond" if args.unconstrained else "action"
     num_actions = {"humanact12": 12, "uestc": 40}.get(dataset, 12)
-    return MotionMDM(cond_mode=cond_mode, num_actions=num_actions, **kw)
+    return MotionMDM(
+        cond_mode=cond_mode, num_actions=num_actions,
+        use_fused_encoder=getattr(args, "use_fused_encoder", False),
+        **kw,
+    )
 
 
 def create_gaussian_diffusion(args, timestep_respacing: str | None = None):

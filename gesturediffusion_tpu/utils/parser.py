@@ -145,6 +145,9 @@ def add_tpu_options(parser: ArgumentParser):
                        choices=["uniform", "loss-second-moment"], type=str)
     group.add_argument("--mesh_model_axis", default=1, type=int,
                        help="Devices on the tensor-parallel mesh axis.")
+    group.add_argument("--use_fused_encoder", action="store_true",
+                       help="Run encoder layers as fused Pallas kernels "
+                            "(inference only; same param tree).")
 
 
 def add_sampling_options(parser: ArgumentParser):
@@ -154,6 +157,9 @@ def add_sampling_options(parser: ArgumentParser):
     group.add_argument("--num_samples", default=10, type=int)
     group.add_argument("--num_repetitions", default=3, type=int)
     group.add_argument("--guidance_param", default=2.5, type=float)
+    group.add_argument("--use_fused_encoder", action="store_true",
+                       help="Run encoder layers as fused Pallas kernels "
+                            "(same param tree; inference speedup on TPU).")
 
 
 def add_generate_options(parser: ArgumentParser):
@@ -185,6 +191,9 @@ def add_evaluation_options(parser: ArgumentParser):
                        choices=["wo_mm", "mm_short", "debug", "full"],
                        type=str)
     group.add_argument("--guidance_param", default=2.5, type=float)
+    group.add_argument("--use_fused_encoder", action="store_true",
+                       help="Run encoder layers as fused Pallas kernels "
+                            "(same param tree; inference speedup on TPU).")
 
 
 def train_args(argv=None):
