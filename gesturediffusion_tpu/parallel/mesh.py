@@ -81,6 +81,15 @@ def shard_params_tp(
     layouts through the jitted train/sample steps and inserts the
     all-reduces — no model-code changes (the scaling-book recipe: pick a
     mesh, annotate shardings, let XLA place collectives).
+
+    Known limits (dp is the production layout; tp is for larger configs):
+      * the heuristic is shape-based — it does not align attention-head
+        boundaries, so a head can straddle shards (GSPMD stays correct
+        but inserts extra collectives);
+      * packed QKV kernels [D, 3D] shard across the q/k/v split;
+      * correctness is covered by the 8-device dryrun + the sharded-vs-
+        single-device equivalence test at test scale
+        (tests/test_train.py::TestSharding), not at CLI scale.
     """
     tp = mesh.shape["model"]
 

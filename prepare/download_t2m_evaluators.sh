@@ -1,0 +1,10 @@
+#!/usr/bin/env bash
+# Frozen T2M evaluator checkpoints (finest.tar) for eval_humanml
+set -euo pipefail
+gdown --fuzzy "https://drive.google.com/file/d/1DSaKqWX2HlwBtVH5l7DdW96jeYUIXsOP/view"
+gdown --fuzzy "https://drive.google.com/file/d/1tX79xk0fflp07EZ660Xz1RAFE33iEyJR/view"
+rm -rf t2m kit
+unzip t2m.zip
+unzip kit.zip
+rm t2m.zip kit.zip
+echo "done — torch checkpoints are converted to Flax at load time"

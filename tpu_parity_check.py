@@ -1,0 +1,122 @@
+"""On-hardware numeric parity checks for the Pallas kernels.
+
+The pytest suite runs on a virtual CPU mesh (tests/conftest.py), where
+Pallas kernels execute in interpret mode — Mosaic lowering can differ.
+This script compiles the kernels on the REAL TPU at production shapes and
+asserts they match the XLA formulations (tolerances account for bf16 MXU
+passes).  Run it as part of verification after touching any kernel:
+
+    python tpu_parity_check.py
+
+Exits non-zero on any mismatch.
+"""
+
+import sys
+import os
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def check(name, got, want, atol):
+    diff = float(jnp.abs(got - want).max())
+    ok = diff <= atol
+    print(f"{'OK ' if ok else 'FAIL'} {name}: max|diff|={diff:.2e} "
+          f"(atol {atol:.0e})")
+    return ok
+
+
+def main():
+    if jax.default_backend() != "tpu":
+        print("ERROR: no TPU backend — this check must run on the chip")
+        return 1
+    from gesturediffusion_tpu.models.transformer import (
+        TransformerEncoderLayer,
+    )
+    from gesturediffusion_tpu.ops.local_attention import (
+        local_attention,
+        local_attention_dense,
+    )
+    from gesturediffusion_tpu.ops.pallas_attention import (
+        local_attention_pallas,
+    )
+    from gesturediffusion_tpu.ops.pallas_encoder import fused_encoder_layer
+    from gesturediffusion_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    rs = np.random.RandomState(0)
+    ok = True
+
+    # 1) banded local attention at the production gesture shape
+    #    [2*41 CFG batch, 8 heads, T=80, dh=32], window 10, look-back 1
+    q = jnp.asarray(rs.randn(82, 8, 80, 32), jnp.float32)
+    kw = dict(window_size=10, causal=True, look_backward=1, look_forward=0)
+    want = jax.jit(lambda a: local_attention(a, a, a, **kw))(q)
+    got_pallas = jax.jit(
+        lambda a: local_attention_pallas(a, a, a, window_size=10)
+    )(q)
+    ok &= check("local_attention_pallas (compiled) vs XLA windowed",
+                got_pallas, want, atol=2e-5)
+    got_dense = jax.jit(lambda a: local_attention_dense(a, a, a, **kw))(q)
+    ok &= check("local_attention_dense (TPU) vs XLA windowed",
+                got_dense, want, atol=2e-5)
+
+    # 2) fused encoder layer at the gesture shape (bf16 MXU passes => 3e-3)
+    B, T, D, H, F = 82, 81, 256, 4, 1024
+    x = jnp.asarray(rs.randn(B, T, D) * 0.5, jnp.float32)
+    layer = TransformerEncoderLayer(
+        d_model=D, num_heads=H, dim_feedforward=F, dropout=0.0
+    )
+    params = layer.init(jax.random.PRNGKey(0), x)["params"]
+    p = params
+    want = jax.jit(
+        lambda a: layer.apply({"params": params}, a, deterministic=True)
+    )(x)
+    got = fused_encoder_layer(
+        x,
+        p["self_attn"]["in_proj"]["kernel"], p["self_attn"]["in_proj"]["bias"],
+        p["self_attn"]["out_proj"]["kernel"],
+        p["self_attn"]["out_proj"]["bias"],
+        p["norm1"]["scale"], p["norm1"]["bias"],
+        p["linear1"]["kernel"], p["linear1"]["bias"],
+        p["linear2"]["kernel"], p["linear2"]["bias"],
+        p["norm2"]["scale"], p["norm2"]["bias"],
+        num_heads=H, block_b=8,
+    )
+    ok &= check("fused_encoder_layer (compiled) vs XLA layer [82,81,256]",
+                got, want, atol=1e-2)
+
+    # 3) fused encoder layer at the t2m shape
+    B, T, D, F = 64, 197, 512, 1024
+    x = jnp.asarray(rs.randn(B, T, D) * 0.5, jnp.float32)
+    layer = TransformerEncoderLayer(
+        d_model=D, num_heads=H, dim_feedforward=F, dropout=0.0
+    )
+    params = layer.init(jax.random.PRNGKey(0), x)["params"]
+    p = params
+    want = jax.jit(
+        lambda a: layer.apply({"params": params}, a, deterministic=True)
+    )(x)
+    got = fused_encoder_layer(
+        x,
+        p["self_attn"]["in_proj"]["kernel"], p["self_attn"]["in_proj"]["bias"],
+        p["self_attn"]["out_proj"]["kernel"],
+        p["self_attn"]["out_proj"]["bias"],
+        p["norm1"]["scale"], p["norm1"]["bias"],
+        p["linear1"]["kernel"], p["linear1"]["bias"],
+        p["linear2"]["kernel"], p["linear2"]["bias"],
+        p["norm2"]["scale"], p["norm2"]["bias"],
+        num_heads=H, block_b=4,
+    )
+    ok &= check("fused_encoder_layer (compiled) vs XLA layer [64,197,512]",
+                got, want, atol=1e-2)
+
+    print("ALL OK" if ok else "FAILURES")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
