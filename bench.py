@@ -35,6 +35,14 @@ Perf notes (measured on v5e, this round; r1 -> r2 gesture
     time at B 164->328, 3.26x at 328->656 in the XLA path).
     Mitigations: the fused layer keeps scores in VMEM by construction;
     otherwise keep per-chip chunk batch <= 164.
+  * measured roofline: the fused 8-layer encoder alone costs 0.824
+    ms/step (~107 TFLOP/s sustained, 54% of v5e bf16 peak; Mosaic
+    requires f32 matmul accumulators, so bf16-accumulate is not
+    available); glue (rotary/local-attn/projections) 0.135 ms and
+    sampler math 0.057 ms.  5x the derived anchor would need the WHOLE
+    step in <=0.82 ms — i.e. the current encoder time with zero
+    overhead — so 4.1x is where this architecture lands on one v5e
+    without changing the model.
 
 GDT_BENCH_CONFIG=humanml reports the round-1 secondary metric
 (HumanML3D samples/sec/chip, batch 32, guidance 2.5).
