@@ -103,11 +103,14 @@ class GeneratedMotionSet:
         # evaluator's convention (reference: comp_v6_model_dataset.py:246)
         renorm: Optional[tuple] = None,
         seed: int = 0,
+        num_samples_limit: Optional[int] = None,
     ):
         self.batches = []
         self.mm_batches = []
         rng = jax.random.PRNGKey(seed)
         n = len(dataset)
+        if num_samples_limit:
+            n = min(n, num_samples_limit)
         n_batches = n // batch_size
         mm_idxs = (
             np.random.RandomState(seed).choice(
@@ -332,6 +335,117 @@ EVAL_MODES = {
                      mm_num_repeats=30, mm_num_times=10, diversity_times=300,
                      replication_times=5),
 }
+
+
+def make_training_eval_fn(args, model, diffusion, text_encoder=None,
+                          log=None):
+    """In-training benchmark eval hook for humanml/kit
+    (reference: train/training_loop.py:165-202 — runs the full T2M metric
+    protocol every save_interval with scale=1, mm off, diversity 300,
+    `eval_rep_times` replications over `eval_num_samples` samples).
+
+    Returns eval_fn(state, step) -> {metric: float}.  Falls back to hash
+    vectorizer / training normalization with loud logs when the external
+    evaluator assets are absent (pipeline still exercised end-to-end).
+    """
+    import functools
+
+    from gesturediffusion_tpu.data.humanml import (
+        HashVectorizer,
+        Text2MotionDatasetV2,
+        WordVectorizer,
+    )
+    from gesturediffusion_tpu.diffusion.sampling import p_sample_loop
+
+    log = log or log_lib.log
+    batch_size = 32  # R-precision protocol invariant
+
+    try:
+        w_vectorizer = WordVectorizer("./glove", "our_vab")
+    except (FileNotFoundError, OSError):
+        log("in-training eval: GloVe assets not found — hash vectorizer "
+            "(NOT metric-parity)")
+        w_vectorizer = HashVectorizer()
+
+    root = args.data_dir or (
+        "./dataset/HumanML3D" if args.dataset == "humanml"
+        else "./dataset/KIT-ML"
+    )
+    dataset = Text2MotionDatasetV2(
+        root,
+        split=getattr(args, "eval_split", "test"),
+        dataset_name="t2m" if args.dataset == "humanml" else "kit",
+        w_vectorizer=w_vectorizer,
+    )
+    if len(dataset) < batch_size:
+        raise ValueError(
+            f"eval split has {len(dataset)} samples < protocol batch "
+            f"{batch_size} — benchmark eval impossible"
+        )
+    gt_loader = GroundTruthMotionSet(dataset, batch_size=batch_size)
+
+    renorm = None
+    eval_mean_p = os.path.join("dataset", "t2m_mean.npy")
+    if os.path.isfile(eval_mean_p):
+        renorm = (
+            dataset.mean, dataset.std,
+            np.load(eval_mean_p),
+            np.load(os.path.join("dataset", "t2m_std.npy")),
+        )
+    eval_wrapper = EvaluatorWrapper(args.dataset, dim_pose=dataset.pose_dim)
+
+    shape = (batch_size, dataset.pose_dim, 1, 196)
+
+    @jax.jit
+    def sample_with_params(params, rng, cond):
+        return p_sample_loop(
+            diffusion,
+            lambda x, t, c: model.apply(params, x, t, c),
+            shape, rng, cond, clip_denoised=False,
+        )
+
+    num_samples = getattr(args, "eval_num_samples", 1_000)
+    rep_times = getattr(args, "eval_rep_times", 3)
+    diversity_times = min(300, max(2, (num_samples // batch_size)
+                                   * batch_size - 1))
+    save_dir = getattr(args, "save_dir", ".")
+
+    def eval_fn(state, step):
+        params = (
+            state.ema_params
+            if getattr(state, "ema_params", None)
+            else state.params
+        )
+        sample_fn = functools.partial(sample_with_params, params)
+
+        def make_gen_loader(replication):
+            gen = GeneratedMotionSet(
+                sample_fn, dataset, text_encoder=text_encoder,
+                batch_size=batch_size,
+                mm_num_samples=0, mm_num_repeats=0,
+                scale=1.0,  # reference in-training eval runs without CFG
+                renorm=renorm, seed=replication,
+                num_samples_limit=num_samples,
+            )
+            return gen, gen.mm_batches
+
+        log_file = os.path.join(save_dir, f"eval_humanml_{step:09d}.log")
+        mean_dict = evaluation(
+            eval_wrapper, gt_loader, {"vald": make_gen_loader}, log_file,
+            replication_times=rep_times, diversity_times=diversity_times,
+            run_mm=False,
+        )
+        out = {}
+        for k, v in mean_dict.items():
+            arr = np.asarray(v)
+            if arr.ndim == 0:
+                out[k] = float(arr)
+            else:  # R-precision returns top-1/2/3
+                for i, vi in enumerate(arr):
+                    out[f"{k}_top{i + 1}"] = float(vi)
+        return out
+
+    return eval_fn
 
 
 def main(argv=None):

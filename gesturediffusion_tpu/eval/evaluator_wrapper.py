@@ -56,12 +56,34 @@ class EvaluatorWrapper:
             hidden_size=512, output_size=512
         )
 
+        if checkpoint_path is None:
+            # reference default location (prepare/download_t2m_evaluators.sh
+            # unpacks to ./{t2m,kit}/text_mot_match/model/finest.tar)
+            import os
+
+            candidate = os.environ.get(
+                "T2M_EVALUATOR_PATH",
+                os.path.join(
+                    "t2m" if dataset_name == "humanml" else "kit",
+                    "text_mot_match", "model", "finest.tar",
+                ),
+            )
+            if os.path.isfile(candidate):
+                checkpoint_path = candidate
+
         if params is not None:
             self.params = params
         elif checkpoint_path is not None:
             self.params = self.load_torch_checkpoint(checkpoint_path)
         else:
             # random frozen weights (hermetic tests / no-assets smoke runs)
+            from gesturediffusion_tpu.utils import logger as _log
+
+            _log.log(
+                "WARNING: T2M evaluator checkpoint (finest.tar) not found "
+                "— using RANDOM frozen evaluator weights; metrics are NOT "
+                "comparable to the reference protocol."
+            )
             self.params = self._init_random(seed)
 
         self._jit_text = jax.jit(

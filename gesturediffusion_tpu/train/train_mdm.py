@@ -112,11 +112,27 @@ def main(argv=None):
         seed=args.seed,
     )
     eval_fn = None
-    if args.eval_during_training:
+    if args.eval_during_training and args.dataset in ("humanml", "kit"):
+        # full T2M benchmark eval every save_interval
+        # (reference: training_loop.py:165-202); evaluator falls back to
+        # random frozen weights with a loud log when finest.tar is absent
+        try:
+            from gesturediffusion_tpu.eval.eval_humanml import (
+                make_training_eval_fn,
+            )
+
+            eval_fn = make_training_eval_fn(
+                args, model, diffusion, text_encoder=text_encoder
+            )
+        except Exception as e:
+            log_lib.log(
+                f"benchmark eval_during_training unavailable ({e}); "
+                "falling back to val-loss eval"
+            )
+    if args.eval_during_training and eval_fn is None:
         # validation diffusion loss over a fixed batch set with fixed RNG
-        # (reference runs the full benchmark eval here,
-        # training_loop.py:165-202; metric evals need external assets, so
-        # the always-available signal is val loss)
+        # (always-available signal for datasets without a benchmark
+        # evaluator)
         try:
             if args.dataset in ("humanml", "kit"):
                 eval_split = args.eval_split  # val|test both exist
