@@ -485,6 +485,89 @@ def _existing(path: Optional[str]) -> Optional[str]:
     return path if path and os.path.exists(path) else None
 
 
+def make_a2m_training_eval_fn(args, model, diffusion, dataset, log=None):
+    """In-training a2m benchmark hook (reference: training_loop.py:188-199
+    — num_seeds=eval_rep_times, num_samples=eval_num_samples, guidance 1).
+
+    Returns eval_fn(state, step) -> {metric: float}.  Raises at
+    construction when the SMPL model (needed for FK) is unavailable so
+    the caller can fall back to val-loss eval.
+    """
+    import functools
+
+    from gesturediffusion_tpu.diffusion.sampling import p_sample_loop
+    from gesturediffusion_tpu.models.rotation2xyz import rotation2xyz
+    from gesturediffusion_tpu.models.smpl import load_smpl_pickle
+    from gesturediffusion_tpu.utils import logger as log_lib_
+
+    log = log or log_lib_.log
+    smpl = load_smpl_pickle(
+        os.environ.get("SMPL_MODEL_PATH", "body_models/smpl/SMPL_NEUTRAL.pkl")
+    )
+
+    if args.dataset == "uestc":
+        evaluation_obj = STGCNA2MEvaluation(
+            checkpoint_path=_existing(
+                os.environ.get(
+                    "UESTC_STGCN_PATH",
+                    "assets/actionrecognition/uestc_rot6d_stgcn.tar",
+                )
+            ),
+        )
+    else:
+        evaluation_obj = A2MEvaluation(
+            checkpoint_path=_existing(
+                os.environ.get(
+                    "A2M_CLASSIFIER_PATH",
+                    "assets/actionrecognition/humanact12_gru.tar",
+                )
+            ),
+        )
+
+    num_frames = 60
+
+    @functools.partial(jax.jit, static_argnums=2)
+    def sample_with_params(params, rng, shape, cond):
+        return p_sample_loop(
+            diffusion,
+            lambda x, t, c: model.apply(params, x, t, c),
+            shape, rng, cond, clip_denoised=False,
+        )
+
+    @jax.jit
+    def fk_fn(sample):
+        return rotation2xyz(
+            smpl, sample, pose_rep="rot6d", translation=True, glob=True,
+            jointstype="smpl", vertstrans=True,
+        )
+
+    num_seeds = getattr(args, "eval_rep_times", 3)
+    num_samples = getattr(args, "eval_num_samples", 1_000)
+    batch_size = getattr(args, "eval_batch_size", 32)
+    cond_mode = "no_cond" if getattr(args, "unconstrained", False) else "action"
+
+    def eval_fn(state, step):
+        params = (
+            state.ema_params
+            if getattr(state, "ema_params", None)
+            else state.params
+        )
+        sample_fn = functools.partial(sample_with_params, params)
+        evaluate = (
+            evaluate_uestc if args.dataset == "uestc" else evaluate_humanact12
+        )
+        summary = evaluate(
+            sample_fn, fk_fn, dataset, evaluation_obj,
+            num_seeds=num_seeds, num_samples=num_samples,
+            batch_size=batch_size, num_frames=num_frames,
+            cond_mode=cond_mode, log=log,
+        )
+        return {k: float(v) for k, v in summary.items()
+                if np.isfinite(v)}
+
+    return eval_fn
+
+
 def main(argv=None):
     from gesturediffusion_tpu.diffusion.sampling import p_sample_loop
     from gesturediffusion_tpu.models.cfg import classifier_free_guidance

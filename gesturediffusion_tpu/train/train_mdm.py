@@ -129,6 +129,23 @@ def main(argv=None):
                 f"benchmark eval_during_training unavailable ({e}); "
                 "falling back to val-loss eval"
             )
+    if args.eval_during_training and eval_fn is None and args.dataset in (
+        "humanact12", "uestc"
+    ):
+        # a2m benchmark eval (reference: training_loop.py:188-199)
+        try:
+            from gesturediffusion_tpu.eval.eval_a2m import (
+                make_a2m_training_eval_fn,
+            )
+
+            eval_fn = make_a2m_training_eval_fn(
+                args, model, diffusion, data.dataset
+            )
+        except Exception as e:
+            log_lib.log(
+                f"a2m eval_during_training unavailable ({e}); "
+                "falling back to val-loss eval"
+            )
     if args.eval_during_training and eval_fn is None:
         # validation diffusion loss over a fixed batch set with fixed RNG
         # (always-available signal for datasets without a benchmark
