@@ -85,11 +85,17 @@ def collate_gesture(
     return motion, cond
 
 
+def _is_host_only(key, value) -> bool:
+    """True for string-valued fields ('text', a2m 'action_text'): strings
+    can't live in a jit-traced pytree.  Numeric lists/tuples pass through
+    (jnp.asarray handles them downstream)."""
+    if key == "text" or isinstance(value, str):
+        return True
+    if isinstance(value, (list, tuple)):
+        return len(value) == 0 or isinstance(value[0], str)
+    return False
+
+
 def device_cond(cond: dict) -> dict:
-    """Strip host-only fields (strings/lists of strings, e.g. 'text' and
-    a2m 'action_text') so the cond pytree is jit-safe."""
-    return {
-        k: v
-        for k, v in cond.items()
-        if not (k == "text" or isinstance(v, (str, list, tuple)))
-    }
+    """Strip host-only fields so the cond pytree is jit-safe."""
+    return {k: v for k, v in cond.items() if not _is_host_only(k, v)}

@@ -44,16 +44,23 @@ class DataLoader:
         self.num_workers = max(1, num_workers)
         self.prefetch = prefetch
         self._rng = np.random.RandomState(seed)
-        if batch_size % process_count != 0:
-            raise ValueError(
-                f"global batch {batch_size} not divisible by "
-                f"{process_count} processes"
+        if process_count > 1:
+            from gesturediffusion_tpu.parallel.distributed import (
+                local_batch_slice,
             )
-        if not 0 <= process_index < process_count:
-            raise ValueError(
-                f"process_index {process_index} out of range "
-                f"[0, {process_count})"
+
+            if not drop_last:
+                raise ValueError(
+                    "process-sharded loading requires drop_last=True "
+                    "(a short final batch would yield unequal or empty "
+                    "local shards)"
+                )
+            # validates divisibility + process_index range
+            self._local_slice = local_batch_slice(
+                batch_size, process_count, process_index
             )
+        else:
+            self._local_slice = None
         self.process_count = process_count
         self.process_index = process_index
 
@@ -72,10 +79,8 @@ class DataLoader:
             idx[i * self.batch_size : (i + 1) * self.batch_size]
             for i in range(nb)
         ]
-        if self.process_count > 1:
-            per = self.batch_size // self.process_count
-            lo = self.process_index * per
-            batches = [b[lo : lo + per] for b in batches]
+        if self._local_slice is not None:
+            batches = [b[self._local_slice] for b in batches]
         return batches
 
     def __iter__(self) -> Iterator:

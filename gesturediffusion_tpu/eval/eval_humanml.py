@@ -337,6 +337,20 @@ EVAL_MODES = {
 }
 
 
+def load_eval_renorm(dataset, log=None):
+    """(our_mean, our_std, eval_mean, eval_std) renorm tuple when the T2M
+    evaluator stats ship at dataset/t2m_{mean,std}.npy; None (with a loud
+    log) otherwise.  Both files must exist."""
+    log = log or log_lib.log
+    mean_p = os.path.join("dataset", "t2m_mean.npy")
+    std_p = os.path.join("dataset", "t2m_std.npy")
+    if os.path.isfile(mean_p) and os.path.isfile(std_p):
+        return (dataset.mean, dataset.std, np.load(mean_p), np.load(std_p))
+    log("t2m evaluator norm stats not found — generated motions "
+        "evaluated in training normalization (NOT metric-parity)")
+    return None
+
+
 def make_training_eval_fn(args, model, diffusion, text_encoder=None,
                           log=None):
     """In-training benchmark eval hook for humanml/kit
@@ -384,14 +398,7 @@ def make_training_eval_fn(args, model, diffusion, text_encoder=None,
         )
     gt_loader = GroundTruthMotionSet(dataset, batch_size=batch_size)
 
-    renorm = None
-    eval_mean_p = os.path.join("dataset", "t2m_mean.npy")
-    if os.path.isfile(eval_mean_p):
-        renorm = (
-            dataset.mean, dataset.std,
-            np.load(eval_mean_p),
-            np.load(os.path.join("dataset", "t2m_std.npy")),
-        )
+    renorm = load_eval_renorm(dataset, log)
     eval_wrapper = EvaluatorWrapper(args.dataset, dim_pose=dataset.pose_dim)
 
     shape = (batch_size, dataset.pose_dim, 1, 196)
@@ -505,17 +512,7 @@ def main(argv=None):
     # renorm from the training normalization to the frozen T2M evaluator's
     # convention (reference: comp_v6_model_dataset.py:246-250); eval stats
     # ship as dataset/t2m_mean.npy + t2m_std.npy
-    renorm = None
-    eval_mean_p = os.path.join("dataset", "t2m_mean.npy")
-    if os.path.isfile(eval_mean_p):
-        renorm = (
-            dataset.mean, dataset.std,
-            np.load(eval_mean_p),
-            np.load(os.path.join("dataset", "t2m_std.npy")),
-        )
-    else:
-        log_lib.log("t2m evaluator norm stats not found — generated motions "
-                    "evaluated in training normalization (NOT metric-parity)")
+    renorm = load_eval_renorm(dataset)
 
     from gesturediffusion_tpu.utils.text_embedder import get_text_encoder
 

@@ -52,17 +52,18 @@ def shard_batch(mesh: Mesh, batch):
     """Place a host batch pytree with the batch axis sharded over 'data'.
 
     Single-process: a plain device_put.  Multi-process (multi-host): the
-    input is this process's LOCAL shard and the result is the logically
-    global array (`jax.make_array_from_process_local_data`), matching the
-    per-process loader slices (data/loader.py)."""
-    sh = batch_sharding(mesh)
+    input is this process's LOCAL shard (host numpy — do NOT pre-upload;
+    device->host readback of eager arrays hangs on tunneled backends) and
+    the result is the logically global array, assembled by
+    `parallel.distributed.make_global_batch` to match the per-process
+    loader slices (data/loader.py)."""
     if jax.process_count() > 1:
-        return jax.tree_util.tree_map(
-            lambda x: jax.make_array_from_process_local_data(
-                sh, np.asarray(x)
-            ),
-            batch,
+        from gesturediffusion_tpu.parallel.distributed import (
+            make_global_batch,
         )
+
+        return make_global_batch(mesh, batch)
+    sh = batch_sharding(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
 
 

@@ -336,11 +336,14 @@ class TrainLoop:
             motion, cond = next(batches)
             dcond = device_cond(cond)
             if self.text_encoder is not None and "text" in cond:
-                dcond["text_emb"] = self.text_encoder(cond["text"])
-            motion = mesh_lib.shard_batch(self.mesh, jnp.asarray(motion))
-            dcond = mesh_lib.shard_batch(
-                self.mesh, jax.tree_util.tree_map(jnp.asarray, dcond)
-            )
+                dcond["text_emb"] = np.asarray(
+                    self.text_encoder(cond["text"])
+                )
+            # hand HOST numpy to shard_batch: it uploads exactly once
+            # (device_put / make_array_from_process_local_data) — no
+            # device->host round-trips on the hot path
+            motion = mesh_lib.shard_batch(self.mesh, motion)
+            dcond = mesh_lib.shard_batch(self.mesh, dcond)
             self.state, metrics = self.train_step(
                 self.state, motion, dcond, self.rng
             )
@@ -366,10 +369,16 @@ class TrainLoop:
                     )
                 self._prev_skips = skips
                 for k, v in metrics.items():
-                    log_lib.logkv_mean(k, float(v))
+                    v = float(v)
+                    if not np.isfinite(v):
+                        # a self-healed skipped step reports NaN loss;
+                        # don't poison the window's running means
+                        # (nonfinite_skips already records the event)
+                        continue
+                    log_lib.logkv_mean(k, v)
                     if k in ("loss",):
                         self.platform.report_scalar(
-                            k, float(v), iteration=step, group_name="Loss"
+                            k, v, iteration=step, group_name="Loss"
                         )
                 log_lib.logkv("step", step)
                 log_lib.logkv(

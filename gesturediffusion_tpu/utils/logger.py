@@ -157,7 +157,11 @@ def make_output_format(fmt: str, ev_dir: Optional[str],
     """Format-name -> sink (reference: diffusion/logger.py:160-190)."""
     if fmt == "stdout":
         return HumanOutputFormat(sys.stdout)
-    assert ev_dir is not None, f"format {fmt!r} needs a log dir"
+    if not ev_dir:  # None or "" — both unusable as a directory
+        raise ValueError(
+            f"log format {fmt!r} needs a log dir (set OPENAI_LOGDIR or "
+            "pass a non-empty dir to configure())"
+        )
     os.makedirs(ev_dir, exist_ok=True)
     if fmt == "log":
         return HumanOutputFormat(
@@ -194,6 +198,14 @@ def configure(
         env_fmt = os.environ.get("OPENAI_LOG_FORMAT")
         if env_fmt:
             format_strs = [f for f in env_fmt.split(",") if f]
+    if format_strs is not None and not dir and any(
+        f != "stdout" for f in format_strs
+    ):
+        # file sinks requested but no dir given — reference falls back to
+        # a temp dir (diffusion/logger.py:446-451)
+        import tempfile
+
+        dir = tempfile.mkdtemp(prefix="gdt-logs-")
     if format_strs is not None:
         output_formats = [make_output_format(f, dir) for f in format_strs]
         _GLOBAL = Logger(dir=dir, output_formats=output_formats)

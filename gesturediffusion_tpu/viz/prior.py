@@ -44,18 +44,24 @@ class MaxMixturePrior:
         const = (2 * np.pi) ** (const_dim / 2.0)
         nll_weights = weights / (const * (sqrdets / sqrdets.min()))
 
-        self.means = jnp.asarray(means, jnp.float32)
-        self.precisions = jnp.asarray(precisions, jnp.float32)
-        self.nll_weights = jnp.asarray(nll_weights, jnp.float32)
+        # keep constants as HOST numpy: eagerly-created device arrays
+        # closed over by jit can crash/hang on tunneled TPU backends
+        # (they become baked constants when converted inside the trace)
+        self.means = np.asarray(means, np.float32)
+        self.precisions = np.asarray(precisions, np.float32)
+        self.nll_weights = np.asarray(nll_weights, np.float32)
         self.epsilon = epsilon
         self.random_var_dim = means.shape[1]
 
     def __call__(self, pose: jnp.ndarray) -> jnp.ndarray:
         """pose [B, D] flat body pose -> [B] min-component NLL."""
-        diff = pose[:, None, :] - self.means[None]          # [B, M, D]
-        prec_diff = jnp.einsum("mij,bmj->bmi", self.precisions, diff)
+        means = jnp.asarray(self.means)
+        precisions = jnp.asarray(self.precisions)
+        log_nll_w = jnp.log(jnp.asarray(self.nll_weights))
+        diff = pose[:, None, :] - means[None]               # [B, M, D]
+        prec_diff = jnp.einsum("mij,bmj->bmi", precisions, diff)
         quad = jnp.sum(prec_diff * diff, -1)                # [B, M]
-        ll = 0.5 * quad - jnp.log(self.nll_weights)[None]
+        ll = 0.5 * quad - log_nll_w[None]
         return jnp.min(ll, axis=1)
 
 
@@ -96,11 +102,18 @@ def make_synthetic_gmm(
     }
 
 
-ANGLE_PRIOR_IDX = jnp.asarray([55 - 3, 58 - 3, 12 - 3, 15 - 3])
-ANGLE_PRIOR_SIGNS = jnp.asarray([1.0, -1.0, -1.0, -1.0])
+# host numpy (not eager device arrays — see MaxMixturePrior note)
+ANGLE_PRIOR_IDX = np.asarray([55 - 3, 58 - 3, 12 - 3, 15 - 3])
+ANGLE_PRIOR_SIGNS = np.asarray([1.0, -1.0, -1.0, -1.0], np.float32)
 
 
 def angle_prior(body_pose: jnp.ndarray) -> jnp.ndarray:
     """Knee/elbow bend prior on the flat 69-dim body pose
     (reference: prior.py:51-88, indices corrected for no-global pose)."""
-    return jnp.exp(body_pose[:, ANGLE_PRIOR_IDX] * ANGLE_PRIOR_SIGNS) ** 2
+    return (
+        jnp.exp(
+            body_pose[:, jnp.asarray(ANGLE_PRIOR_IDX)]
+            * jnp.asarray(ANGLE_PRIOR_SIGNS)
+        )
+        ** 2
+    )

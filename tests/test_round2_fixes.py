@@ -65,3 +65,56 @@ class TestLogFormatEnv:
     def test_unknown_format_raises(self, tmp_path):
         with pytest.raises(ValueError):
             log_lib.make_output_format("bogus", str(tmp_path))
+
+
+class TestReviewFixesRound2:
+    def test_device_cond_keeps_numeric_lists(self):
+        from gesturediffusion_tpu.data.collate import device_cond
+
+        cond = {
+            "lengths": [80, 80, 60],
+            "text": ["a", "b"],
+            "action_text": ["x"],
+            "mask": [[True]],
+        }
+        out = device_cond(cond)
+        assert "lengths" in out and "mask" in out
+        assert "text" not in out and "action_text" not in out
+
+    def test_loader_rejects_process_sharding_without_drop_last(self):
+        from gesturediffusion_tpu.data.collate import collate_gesture
+        from gesturediffusion_tpu.data.loader import DataLoader
+        from gesturediffusion_tpu.data.synthetic import SyntheticGesture
+
+        ds = SyntheticGesture(n_items=10, window=12, pose_dim=8,
+                              n_seed_poses=2)
+        with pytest.raises(ValueError, match="drop_last"):
+            DataLoader(ds, batch_size=8, collate_fn=collate_gesture,
+                       drop_last=False, process_count=2)
+
+    def test_logger_empty_dir_file_sink_raises_clearly(self):
+        with pytest.raises(ValueError, match="log dir"):
+            log_lib.make_output_format("json", "")
+
+    def test_configure_env_format_without_dir_falls_back(self, monkeypatch):
+        monkeypatch.setenv("OPENAI_LOG_FORMAT", "json")
+        monkeypatch.delenv("OPENAI_LOGDIR", raising=False)
+        logger = log_lib.configure()  # no dir -> temp dir fallback
+        logger.logkv("a", 1.0)
+        logger.dumpkvs()
+        assert logger.dir and os.path.isdir(logger.dir)
+
+    def test_gmm_prior_constants_are_host_numpy(self):
+        import numpy as np
+
+        from gesturediffusion_tpu.viz import prior as prior_mod
+        from gesturediffusion_tpu.viz.prior import (
+            MaxMixturePrior,
+            make_synthetic_gmm,
+        )
+
+        assert isinstance(prior_mod.ANGLE_PRIOR_IDX, np.ndarray)
+        gmm = make_synthetic_gmm(n_gaussians=2, dim=6)
+        p = MaxMixturePrior(gmm["means"], gmm["covars"], gmm["weights"])
+        assert isinstance(p.means, np.ndarray)
+        assert isinstance(p.precisions, np.ndarray)
