@@ -193,6 +193,8 @@ class SyntheticGesture:
         self.window = window
         self.pose_dim = pose_dim
         self.items = []
+        # raw-audio samples per frame at the production 22050 Hz / 30 fps
+        spf = 735
         for _ in range(n_items):
             motion = np.cumsum(
                 rng.randn(window, pose_dim).astype(np.float32) * 0.05, axis=0
@@ -203,6 +205,9 @@ class SyntheticGesture:
                     "text": "synthetic speech",
                     "length": window,
                     "mfcc": rng.randn(window, mfcc_dim).astype(np.float32),
+                    "audio": (
+                        rng.randn(window * spf).astype(np.float32) * 0.1
+                    ),
                     "seed": motion[:n_seed_poses].copy(),
                 }
             )

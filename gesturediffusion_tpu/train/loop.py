@@ -80,6 +80,9 @@ class TrainState:
     nonfinite_skips: jax.Array = flax.struct.field(
         default_factory=lambda: jnp.asarray(0, jnp.int32)
     )
+    # non-parameter model collections updated by the forward pass (e.g.
+    # the WavEncoder's BatchNorm running stats); empty for most models
+    model_state: Any = flax.struct.field(default_factory=dict)
 
 
 def quartile_means(t: jax.Array, values: jax.Array, num_timesteps: int):
@@ -108,8 +111,16 @@ def make_train_step(
 ):
     """Build the jitted train step.
 
-    apply_fn(params, x, t, cond, rngs) -> model output (train mode).
+    apply_fn(params, x, t, cond, rngs) -> model output (train mode); OR
+    apply_fn(params, x, t, cond, rngs, model_state) ->
+    (output, new_model_state) for models with mutable non-param
+    collections (BatchNorm running stats).
     """
+    import inspect
+
+    accepts_model_state = (
+        "model_state" in inspect.signature(apply_fn).parameters
+    )
 
     def step_fn(state: TrainState, motion: jax.Array, cond: dict, rng: jax.Array):
         rng = jax.random.fold_in(rng, state.step)
@@ -119,23 +130,26 @@ def make_train_step(
         noise = jax.random.normal(rng_noise, motion.shape, motion.dtype)
         mask = cond["mask"]
 
-        def model_fn_for(params):
+        def model_fn_for(params, ms_out):
             def model_fn(x, tt, cc):
                 x_in = x.astype(jnp.bfloat16) if config.use_bf16 else x
-                out = apply_fn(
-                    params,
-                    x_in,
-                    tt,
-                    cc,
-                    rngs={"dropout": rng_drop, "cond_mask": rng_mask},
-                )
+                rngs = {"dropout": rng_drop, "cond_mask": rng_mask}
+                if accepts_model_state:
+                    out, new_ms = apply_fn(
+                        params, x_in, tt, cc, rngs=rngs,
+                        model_state=state.model_state,
+                    )
+                    ms_out.append(new_ms)
+                else:
+                    out = apply_fn(params, x_in, tt, cc, rngs=rngs)
                 return out.astype(motion.dtype)
 
             return model_fn
 
         def loss_fn(params):
+            ms_out = []
             terms = diffusion.training_losses(
-                model_fn_for(params),
+                model_fn_for(params, ms_out),
                 motion,
                 t,
                 cond,
@@ -144,11 +158,12 @@ def make_train_step(
                 fk_fn=fk_fn,
             )
             loss = jnp.mean(terms["loss"] * weights)
-            return loss, terms
+            new_ms = ms_out[-1] if ms_out else state.model_state
+            return loss, (terms, new_ms)
 
-        (loss, terms), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params
-        )
+        (loss, (terms, new_model_state)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
         grad_norm = global_norm(grads)
         # Self-heal on non-finite loss/grads: keep the old state and count
         # the skip instead of poisoning params (per-step, inside jit —
@@ -178,6 +193,7 @@ def make_train_step(
         new_sampler = keep_new(
             state.sampler.update_with_losses(t, terms["loss"]), state.sampler
         )
+        new_model_state = keep_new(new_model_state, state.model_state)
         new_skips = state.nonfinite_skips + (1 - ok.astype(jnp.int32))
 
         metrics = {"loss": loss, "grad_norm": grad_norm,
@@ -197,6 +213,7 @@ def make_train_step(
             ema_params=new_ema,
             sampler=new_sampler,
             nonfinite_skips=new_skips,
+            model_state=new_model_state,
         )
         return new_state, metrics
 
@@ -232,6 +249,7 @@ class TrainLoop:
         text_encoder: Optional[Callable] = None,
         args_to_save: Optional[dict] = None,
         eval_fn: Optional[Callable] = None,
+        init_model_state: Any = None,
     ):
         self.config = config
         self.diffusion = diffusion
@@ -261,6 +279,7 @@ class TrainLoop:
             opt_state=tx.init(init_params),
             ema_params=ema,
             sampler=sampler,
+            model_state=init_model_state or {},
         )
         self.train_step = make_train_step(
             diffusion, apply_fn, tx, config, fk_fn=fk_fn
@@ -291,10 +310,13 @@ class TrainLoop:
         step = self.host_step
         path = self._ckpt_dir(step)
         ckptr = ocp.PyTreeCheckpointer()
+        # "params" carries the FULL variables dict (params + any mutable
+        # collections like batch_stats) so inference consumers can
+        # model.apply(ckpt["params"], ...) directly
         ckptr.save(
             path,
             {
-                "params": self.state.params,
+                "params": {**self.state.params, **self.state.model_state},
                 "ema_params": self.state.ema_params,
                 "opt_state": self.state.opt_state,
                 "sampler": _sampler_arrays(self.state.sampler),
@@ -309,19 +331,23 @@ class TrainLoop:
 
         ckptr = ocp.PyTreeCheckpointer()
         template = {
-            "params": self.state.params,
+            "params": {**self.state.params, **self.state.model_state},
             "ema_params": self.state.ema_params,
             "opt_state": self.state.opt_state,
             "sampler": _sampler_arrays(self.state.sampler),
         }
         restored = ckptr.restore(os.path.abspath(path), item=template)
         step = parse_resume_step_from_filename(path)
+        ms_keys = set(self.state.model_state)
         self.state = TrainState(
             step=jnp.asarray(step, jnp.int32),
-            params=restored["params"],
+            params={k: v for k, v in restored["params"].items()
+                    if k not in ms_keys},
             opt_state=restored["opt_state"],
             ema_params=restored["ema_params"],
             sampler=_restore_sampler(self.state.sampler, restored["sampler"]),
+            model_state={k: v for k, v in restored["params"].items()
+                         if k in ms_keys},
         )
         self.resume_step = step
         self.host_step = step

@@ -76,12 +76,24 @@ def main(argv=None):
         dcond["text_emb"] = jnp.asarray(text_encoder(cond["text"]))
     x0 = jnp.asarray(motion)
     t0 = jnp.zeros((motion.shape[0],), jnp.int32)
-    params = model.init(jax.random.PRNGKey(args.seed), x0, t0, dcond)
+    variables = model.init(jax.random.PRNGKey(args.seed), x0, t0, dcond)
+    # non-param collections (e.g. WavEncoder BatchNorm running stats) are
+    # carried in TrainState.model_state and updated mutably per step
+    model_state = {k: v for k, v in variables.items() if k != "params"}
+    params = {"params": variables["params"]}
     n_params = sum(p.size for p in jax.tree_util.tree_leaves(params))
     log_lib.log(f"model initialized: {n_params / 1e6:.2f}M params")
 
-    def apply_fn(p, x, t, c, rngs=None):
-        return model.apply(p, x, t, c, train=True, rngs=rngs)
+    if model_state:
+        def apply_fn(p, x, t, c, rngs=None, model_state=None):
+            out, new_ms = model.apply(
+                {**p, **(model_state or {})}, x, t, c, train=True,
+                rngs=rngs, mutable=list(model_state.keys()),
+            )
+            return out, new_ms
+    else:
+        def apply_fn(p, x, t, c, rngs=None):
+            return model.apply(p, x, t, c, train=True, rngs=rngs)
 
     fk_fn = None
     if args.lambda_rcxyz > 0 or args.lambda_fc > 0:
@@ -219,6 +231,7 @@ def main(argv=None):
         text_encoder=text_encoder,
         args_to_save=vars(args),
         eval_fn=eval_fn,
+        init_model_state=model_state,
     )
     if args.resume_checkpoint:
         loop.load(args.resume_checkpoint)

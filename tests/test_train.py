@@ -117,6 +117,71 @@ class TestTrainStep:
         )
         assert changed
 
+    def test_wav_encoder_batchnorm_trains_mutably(self, tmp_path):
+        """Models with mutable collections (WavEncoder BatchNorm running
+        stats) must train: stats live in TrainState.model_state and are
+        updated per step."""
+        model = MDM(njoints=J, latent_dim=32, num_layers=1, ff_size=64,
+                    seed_poses=S, cl_head=4, window_size=10,
+                    mfcc_input=False, use_wav_enc=True, cond_mask_prob=0.1)
+        from gesturediffusion_tpu.diffusion import (
+            ModelMeanType,
+            create_diffusion,
+        )
+
+        diffusion = create_diffusion(
+            steps=8, model_mean_type=ModelMeanType.START_X
+        )
+        ds = SyntheticGesture(n_items=8, window=T, pose_dim=J,
+                              n_seed_poses=S)
+        data = DataLoader(ds, batch_size=4, collate_fn=collate_gesture,
+                          num_workers=1)
+        from gesturediffusion_tpu.data.collate import device_cond
+
+        motion, cond = next(iter(data))
+        dcond = {k: jnp.asarray(v) for k, v in device_cond(cond).items()}
+        variables = model.init(
+            jax.random.PRNGKey(0), jnp.asarray(motion),
+            jnp.zeros((4,), jnp.int32), dcond,
+        )
+        assert "batch_stats" in variables
+        model_state = {k: v for k, v in variables.items() if k != "params"}
+        params = {"params": variables["params"]}
+
+        def apply_fn(p, x, t, c, rngs=None, model_state=None):
+            out, new_ms = model.apply(
+                {**p, **(model_state or {})}, x, t, c, train=True,
+                rngs=rngs, mutable=list(model_state.keys()),
+            )
+            return out, new_ms
+
+        cfg = TrainConfig(save_dir=str(tmp_path / "wav"), lr=1e-3,
+                          num_steps=2, log_interval=1, batch_size=4)
+        loop = TrainLoop(cfg, diffusion, apply_fn, params, data,
+                         init_model_state=model_state)
+        before = np.asarray(
+            loop.state.model_state["batch_stats"]["wav_encoder"]["bn_0"][
+                "mean"
+            ]
+        ).copy()
+        loop.state, metrics = loop.train_step(
+            loop.state, jnp.asarray(motion), dcond, loop.rng
+        )
+        assert np.isfinite(float(metrics["loss"]))
+        after = np.asarray(
+            loop.state.model_state["batch_stats"]["wav_encoder"]["bn_0"][
+                "mean"
+            ]
+        )
+        assert not np.array_equal(before, after)  # running stats updated
+        # checkpoint merges batch_stats into "params" for inference
+        loop.host_step = 1
+        path = loop.save()
+        import orbax.checkpoint as ocp
+
+        restored = ocp.PyTreeCheckpointer().restore(path)
+        assert "batch_stats" in restored["params"]
+
     def test_run_loop_and_checkpoint(self, tmp_path):
         os.environ["DIFFUSION_TRAINING_TEST"] = "1"
         try:
