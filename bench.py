@@ -35,6 +35,10 @@ Perf notes (measured on v5e, this round; r1 -> r2 gesture
     time at B 164->328, 3.26x at 328->656 in the XLA path).
     Mitigations: the fused layer keeps scores in VMEM by construction;
     otherwise keep per-chip chunk batch <= 164.
+  * rbg PRNG (vs the default threefry) is the default everywhere:
+    +69% train-step throughput (26.4 ms/step at batch 256 -> 9.7k
+    samples/s; a full 600k-step production run in 4.4 h on ONE chip)
+    and ~+4% sampling.
   * measured roofline: the fused 8-layer encoder alone costs 0.824
     ms/step (~107 TFLOP/s sustained, 54% of v5e bf16 peak; Mosaic
     requires f32 matmul accumulators, so bf16-accumulate is not
@@ -79,7 +83,9 @@ def bench_gesture():
     from gesturediffusion_tpu.models.cfg import classifier_free_guidance
     from gesturediffusion_tpu.models.mdm import MDM
     from gesturediffusion_tpu.utils.cache import enable_compilation_cache
+    from gesturediffusion_tpu.utils.fixseed import set_prng_impl
 
+    set_prng_impl(os.environ.get("GDT_BENCH_PRNG", "rbg"))
     enable_compilation_cache()
     B, J, T, S = 41, 498, 80, 10   # 41 takes/chunk (reference layout)
     C = 14                         # chunks per take (reference layout)
@@ -146,7 +152,9 @@ def bench_humanml():
     from gesturediffusion_tpu.models.cfg import classifier_free_guidance
     from gesturediffusion_tpu.models.mdm_t2m import MotionMDM
     from gesturediffusion_tpu.utils.cache import enable_compilation_cache
+    from gesturediffusion_tpu.utils.fixseed import set_prng_impl
 
+    set_prng_impl(os.environ.get("GDT_BENCH_PRNG", "rbg"))
     enable_compilation_cache()
 
     B, J, T = 32, 263, 196

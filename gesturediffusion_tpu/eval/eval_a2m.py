@@ -583,6 +583,9 @@ def main(argv=None):
 
     args = evaluation_parser(argv)
     fixseed(args.seed)
+    from gesturediffusion_tpu.utils.fixseed import set_prng_impl
+
+    set_prng_impl(getattr(args, "prng", "rbg"))
     enable_compilation_cache()
     mode = EVAL_MODES_A2M[args.eval_mode if args.eval_mode in EVAL_MODES_A2M
                           else "debug"]

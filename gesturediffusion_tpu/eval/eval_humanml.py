@@ -469,6 +469,9 @@ def main(argv=None):
 
     args = evaluation_parser(argv)
     fixseed(args.seed)
+    from gesturediffusion_tpu.utils.fixseed import set_prng_impl
+
+    set_prng_impl(getattr(args, "prng", "rbg"))
     enable_compilation_cache()
     args.batch_size = 32  # fixed: R-precision is defined at batch 32
 

@@ -96,6 +96,9 @@ def load_edit_dataset(args):
 def main(argv=None):
     args = edit_args(argv)
     fixseed(args.seed)
+    from gesturediffusion_tpu.utils.fixseed import set_prng_impl
+
+    set_prng_impl(getattr(args, "prng", "rbg"))
     enable_compilation_cache()
 
     max_frames = (

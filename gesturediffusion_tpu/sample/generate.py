@@ -59,6 +59,9 @@ def split_pose_vector(vec: np.ndarray, n_joints: int):
 def main(argv=None):
     args = generate_args(argv)
     fixseed(args.seed)
+    from gesturediffusion_tpu.utils.fixseed import set_prng_impl
+
+    set_prng_impl(getattr(args, "prng", "rbg"))
     enable_compilation_cache()
 
     fps = 30

@@ -30,6 +30,9 @@ from gesturediffusion_tpu.utils.parser import train_args
 def main(argv=None):
     args = train_args(argv)
     fixseed(args.seed)
+    from gesturediffusion_tpu.utils.fixseed import set_prng_impl
+
+    set_prng_impl(getattr(args, "prng", "rbg"))
     enable_compilation_cache()
 
     # multi-host: env-gated jax.distributed.initialize BEFORE backend use
