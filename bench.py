@@ -32,9 +32,11 @@ Perf notes (measured on v5e, this round; r1 -> r2 gesture
   * batch>=164 throughput cliff (round-1 open question): localized to
     the global encoder — per-layer attention scores ([2B,4,81,81] f32)
     grow past VMEM-friendly fusion and get materialized to HBM (2.0x
-    time at B 164->328, 3.26x at 328->656 in the XLA path).
-    Mitigations: the fused layer keeps scores in VMEM by construction;
-    otherwise keep per-chip chunk batch <= 164.
+    time at B 164->328, 3.26x at 328->656 in the XLA path; the fused
+    kernel degrades even harder there — its per-(block,head) matmuls
+    stay small while the block count grows).  Practical mitigation:
+    keep the per-chip chunk batch at <= 164 and scale throughput over
+    the mesh's data axis instead.
   * rbg PRNG (vs the default threefry) is the default everywhere:
     +69% train-step throughput (26.4 ms/step at batch 256 -> 9.7k
     samples/s; a full 600k-step production run in 4.4 h on ONE chip)
