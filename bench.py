@@ -38,9 +38,12 @@ Perf notes (measured on v5e, this round; r1 -> r2 gesture
     keep the per-chip chunk batch at <= 164 and scale throughput over
     the mesh's data axis instead.
   * rbg PRNG (vs the default threefry) is the default everywhere:
-    +69% train-step throughput (26.4 ms/step at batch 256 -> 9.7k
-    samples/s; a full 600k-step production run in 4.4 h on ONE chip)
-    and ~+4% sampling.
+    +69% train-step throughput (44.6 -> 26.4 ms/step at batch 256) and
+    ~+4% sampling.
+  * gradient accumulation (--microbatch_size) dodges the training-side
+    cliff too: batch 256 as 4x64 microbatches runs at 21.2 ms/step =
+    12.1k samples/s (+28% over full-batch) — a full 600k-step
+    production run in 3.5 h on ONE v5e chip.
   * measured roofline: the fused 8-layer encoder alone costs 0.824
     ms/step (~107 TFLOP/s sustained, 54% of v5e bf16 peak; Mosaic
     requires f32 matmul accumulators, so bf16-accumulate is not

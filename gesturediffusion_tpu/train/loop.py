@@ -64,6 +64,10 @@ class TrainConfig:
     schedule_sampler: str = "uniform"
     ema_rate: float = 0.0  # 0 disables EMA
     use_bf16: bool = False
+    # gradient accumulation: split each batch into microbatches of this
+    # size (0 = off).  Per-chip microbatch <= 128 dodges the encoder's
+    # large-batch cliff (see bench.py notes) and bounds activation memory.
+    microbatch_size: int = 0
     seed: int = 10
 
 
@@ -128,16 +132,14 @@ def make_train_step(
         b = motion.shape[0]
         t, weights = state.sampler.sample(rng_t, b)
         noise = jax.random.normal(rng_noise, motion.shape, motion.dtype)
-        mask = cond["mask"]
 
-        def model_fn_for(params, ms_out):
+        def model_fn_for(params, ms_in, ms_out, drop_rng, mask_rng):
             def model_fn(x, tt, cc):
                 x_in = x.astype(jnp.bfloat16) if config.use_bf16 else x
-                rngs = {"dropout": rng_drop, "cond_mask": rng_mask}
+                rngs = {"dropout": drop_rng, "cond_mask": mask_rng}
                 if accepts_model_state:
                     out, new_ms = apply_fn(
-                        params, x_in, tt, cc, rngs=rngs,
-                        model_state=state.model_state,
+                        params, x_in, tt, cc, rngs=rngs, model_state=ms_in,
                     )
                     ms_out.append(new_ms)
                 else:
@@ -146,24 +148,72 @@ def make_train_step(
 
             return model_fn
 
-        def loss_fn(params):
-            ms_out = []
-            terms = diffusion.training_losses(
-                model_fn_for(params, ms_out),
-                motion,
-                t,
-                cond,
-                mask=mask,
-                noise=noise,
-                fk_fn=fk_fn,
-            )
-            loss = jnp.mean(terms["loss"] * weights)
-            new_ms = ms_out[-1] if ms_out else state.model_state
-            return loss, (terms, new_ms)
+        def compute(params, ms_in, mo, tt, no, ww, cc, drop_rng, mask_rng):
+            """loss + grads on one (micro)batch."""
 
-        (loss, (terms, new_model_state)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(state.params)
+            def loss_fn(p):
+                ms_out = []
+                terms = diffusion.training_losses(
+                    model_fn_for(p, ms_in, ms_out, drop_rng, mask_rng),
+                    mo, tt, cc, mask=cc["mask"], noise=no, fk_fn=fk_fn,
+                )
+                loss = jnp.mean(terms["loss"] * ww)
+                new_ms = ms_out[-1] if ms_out else ms_in
+                return loss, (terms, new_ms)
+
+            return jax.value_and_grad(loss_fn, has_aux=True)(params)
+
+        mb = config.microbatch_size
+        if mb and mb < b:
+            # gradient accumulation over equal microbatches: dodges the
+            # large-batch encoder cliff and bounds activation memory
+            # (the real version of the reference's vestigial microbatch
+            # loop, training_loop.py:211-216)
+            if b % mb != 0:
+                raise ValueError(
+                    f"batch {b} not divisible by microbatch_size {mb}"
+                )
+            k = b // mb
+
+            def resh(x):
+                return x.reshape((k, mb) + x.shape[1:])
+
+            xs = (
+                resh(motion), resh(t), resh(noise), resh(weights),
+                jax.tree_util.tree_map(resh, cond), jnp.arange(k),
+            )
+
+            def body(carry, xs_i):
+                g_acc, loss_acc, ms = carry
+                mo, tt, no, ww, cc, i = xs_i
+                (loss_i, (terms_i, new_ms)), grads_i = compute(
+                    state.params, ms, mo, tt, no, ww, cc,
+                    jax.random.fold_in(rng_drop, i),
+                    jax.random.fold_in(rng_mask, i),
+                )
+                g_acc = jax.tree_util.tree_map(
+                    lambda a, g: a + g, g_acc, grads_i
+                )
+                return (g_acc, loss_acc + loss_i, new_ms), terms_i
+
+            zero_g = jax.tree_util.tree_map(
+                lambda p: jnp.zeros(p.shape, jnp.float32), state.params
+            )
+            (g_sum, loss_sum, new_model_state), terms_k = jax.lax.scan(
+                body, (zero_g, jnp.zeros((), jnp.float32),
+                       state.model_state), xs,
+            )
+            grads = jax.tree_util.tree_map(lambda g: g / k, g_sum)
+            loss = loss_sum / k
+            # [k, mb, ...] -> [b, ...] (matches the order of t/weights)
+            terms = jax.tree_util.tree_map(
+                lambda x: x.reshape((b,) + x.shape[2:]), terms_k
+            )
+        else:
+            (loss, (terms, new_model_state)), grads = compute(
+                state.params, state.model_state, motion, t, noise, weights,
+                cond, rng_drop, rng_mask,
+            )
         grad_norm = global_norm(grads)
         # Self-heal on non-finite loss/grads: keep the old state and count
         # the skip instead of poisoning params (per-step, inside jit —

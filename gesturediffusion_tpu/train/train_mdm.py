@@ -124,6 +124,7 @@ def main(argv=None):
         schedule_sampler=args.schedule_sampler,
         ema_rate=args.ema_rate,
         use_bf16=args.use_bf16,
+        microbatch_size=getattr(args, "microbatch_size", 0),
         seed=args.seed,
     )
     eval_fn = None

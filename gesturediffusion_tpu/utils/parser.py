@@ -152,6 +152,10 @@ def add_tpu_options(parser: ArgumentParser):
     group.add_argument("--use_fused_encoder", action="store_true",
                        help="Run encoder layers as fused Pallas kernels "
                             "(inference only; same param tree).")
+    group.add_argument("--microbatch_size", default=0, type=int,
+                       help="Gradient-accumulation microbatch size "
+                            "(0 = whole batch; <=128/chip dodges the "
+                            "large-batch encoder cliff).")
 
 
 def add_sampling_options(parser: ArgumentParser):

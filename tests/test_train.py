@@ -117,6 +117,79 @@ class TestTrainStep:
         )
         assert changed
 
+    def test_microbatch_grads_match_full_batch(self, tmp_path):
+        """Gradient accumulation (microbatch_size) must produce the same
+        update as the full batch when dropout/cond-mask are off (the RNG
+        streams differ only for the stochastic masks)."""
+        from gesturediffusion_tpu.diffusion import (
+            ModelMeanType,
+            create_diffusion,
+        )
+        from gesturediffusion_tpu.train.loop import make_train_step
+
+        model = MDM(njoints=J, latent_dim=32, num_layers=1, ff_size=64,
+                    seed_poses=S, cl_head=4, window_size=10,
+                    cond_mask_prob=0.0, dropout=0.0)
+        diffusion = create_diffusion(
+            steps=16, model_mean_type=ModelMeanType.START_X
+        )
+        ds = SyntheticGesture(n_items=8, window=T, pose_dim=J,
+                              n_seed_poses=S)
+        data = DataLoader(ds, batch_size=8, collate_fn=collate_gesture,
+                          num_workers=1)
+        from gesturediffusion_tpu.data.collate import device_cond
+
+        motion, cond = next(iter(data))
+        dcond = {k: jnp.asarray(v) for k, v in device_cond(cond).items()}
+        motion = jnp.asarray(motion)
+        params = model.init(jax.random.PRNGKey(0), motion,
+                            jnp.zeros((8,), jnp.int32), dcond)
+
+        def apply_fn(p, x, t, c, rngs=None):
+            return model.apply(p, x, t, c, train=True, rngs=rngs)
+
+        import optax
+
+        from gesturediffusion_tpu.diffusion.resample import (
+            create_named_schedule_sampler,
+        )
+        from gesturediffusion_tpu.train.loop import (
+            TrainConfig as TC,
+            TrainState as TS,
+            make_optimizer,
+        )
+
+        results = {}
+        for mb in (0, 4, 2):
+            cfg = TC(lr=1e-3, microbatch_size=mb)
+            # SGD: the update is LINEAR in the gradient, so microbatch
+            # accumulation equivalence shows directly in the params
+            # (Adam's sqrt(v) normalization amplifies f32 summation-order
+            # noise on near-zero grads into sign flips)
+            tx = optax.sgd(1e-3)
+            state = TS(
+                step=jnp.asarray(0, jnp.int32),
+                params=jax.tree_util.tree_map(jnp.copy, params),
+                opt_state=tx.init(params),
+                ema_params={},
+                sampler=create_named_schedule_sampler("uniform", 16),
+            )
+            step = make_train_step(diffusion, apply_fn, tx, cfg)
+            new_state, metrics = step(state, motion, dcond,
+                                      jax.random.PRNGKey(7))
+            results[mb] = (
+                jax.tree_util.tree_map(np.asarray, new_state.params),
+                float(metrics["loss"]),
+            )
+        for mb in (4, 2):
+            assert abs(results[mb][1] - results[0][1]) < 1e-5
+            jax.tree_util.tree_map(
+                lambda a, b: np.testing.assert_allclose(
+                    a, b, atol=1e-6, rtol=1e-4
+                ),
+                results[mb][0], results[0][0],
+            )
+
     def test_wav_encoder_batchnorm_trains_mutably(self, tmp_path):
         """Models with mutable collections (WavEncoder BatchNorm running
         stats) must train: stats live in TrainState.model_state and are
