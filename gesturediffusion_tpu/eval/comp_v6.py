@@ -64,10 +64,14 @@ class TextEncoderBiGRU(nn.Module):
         bwd_seq, h_bwd = masked_gru(x, cap_lens, h0b, gp("bwd"), reverse=True)
         # reference flips the backward outputs within each caption length
         idx = jnp.arange(t)[None, :]
+        valid = (idx < cap_lens[:, None])[..., None]
         flip_idx = jnp.clip(cap_lens[:, None] - 1 - idx, 0, t - 1)
         bwd_flipped = jnp.take_along_axis(bwd_seq, flip_idx[..., None], axis=1)
-        bwd_seq = jnp.where((idx < cap_lens[:, None])[..., None],
-                            bwd_flipped, bwd_seq)
+        # torch's pad_packed_sequence zero-fills positions >= cap_len — the
+        # downstream AttLayer attends over ALL T positions, so padded keys
+        # must be zeros (not frozen GRU states / initial hiddens)
+        fwd_seq = jnp.where(valid, fwd_seq, 0.0)
+        bwd_seq = jnp.where(valid, bwd_flipped, 0.0)
         word_hids = jnp.concatenate([fwd_seq, bwd_seq], axis=-1)
         return word_hids, jnp.concatenate([h_fwd, h_bwd], axis=-1)
 

@@ -587,8 +587,14 @@ def main(argv=None):
 
     set_prng_impl(getattr(args, "prng", "rbg"))
     enable_compilation_cache()
-    mode = EVAL_MODES_A2M[args.eval_mode if args.eval_mode in EVAL_MODES_A2M
-                          else "debug"]
+    if args.eval_mode not in EVAL_MODES_A2M:
+        # the reference raises on unsupported modes too
+        # (eval_humanact12_uestc.py:58)
+        raise ValueError(
+            f"eval_mode {args.eval_mode!r} unsupported for a2m; "
+            f"choose from {sorted(EVAL_MODES_A2M)}"
+        )
+    mode = EVAL_MODES_A2M[args.eval_mode]
 
     # dataset dispatch (reference: eval_humanact12_uestc.py:30-35)
     if args.dataset == "uestc":

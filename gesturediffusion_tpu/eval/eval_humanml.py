@@ -112,11 +112,18 @@ class GeneratedMotionSet:
         if num_samples_limit:
             n = min(n, num_samples_limit)
         n_batches = n // batch_size
+        # mm_num_samples counts SAMPLES; pick mm_num_samples//bs + 1
+        # batches (reference: comp_v6_model_dataset.py:166-167)
+        n_mm_batches = (
+            min(mm_num_samples // batch_size + 1, n_batches)
+            if mm_num_samples > 0
+            else 0
+        )
         mm_idxs = (
             np.random.RandomState(seed).choice(
-                n_batches, min(mm_num_samples, n_batches), replace=False
+                n_batches, n_mm_batches, replace=False
             )
-            if mm_num_samples > 0
+            if n_mm_batches
             else []
         )
 
@@ -553,6 +560,7 @@ def main(argv=None):
             scale=args.guidance_param,
             renorm=renorm,
             seed=replication,
+            num_samples_limit=mode_cfg["num_samples_limit"],
         )
         return gen, gen.mm_batches
 

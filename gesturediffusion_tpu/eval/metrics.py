@@ -161,15 +161,16 @@ def calculate_kid(
     random subsets (reference: kid.py:8-45)."""
     rng = rng or np.random
     m = min(len(real_features), len(gen_features))
+    # subsets are drawn WITHOUT replacement (reference kid.py): duplicated
+    # rows would violate the unbiased MMD estimator's i != j assumption
     subset_size = min(subset_size, m)
-    replace = subset_size < len(gen_features)
     mmds = np.zeros(n_subsets)
     for i in range(n_subsets):
         g = gen_features[
-            rng.choice(len(gen_features), subset_size, replace=replace)
+            rng.choice(len(gen_features), subset_size, replace=False)
         ]
         r = real_features[
-            rng.choice(len(real_features), subset_size, replace=replace)
+            rng.choice(len(real_features), subset_size, replace=False)
         ]
         k_xx = _polynomial_kernel(g)
         k_yy = _polynomial_kernel(r)

@@ -54,10 +54,14 @@ def build_edit_masks(
     """Boolean inpainting mask [B, D, 1, T]; True = keep ground truth."""
     b, d, _, t = motion.shape
     if edit_mode == "in_between":
-        mask = np.zeros((b, d, 1, t), bool)
+        # reference semantics (sample/edit.py:76-83): mask starts all-True
+        # (GT kept everywhere INCLUDING the padding frames after `length`)
+        # and only [prefix_end*length, suffix_start*length) is generated
+        mask = np.ones((b, d, 1, t), bool)
         for i, length in enumerate(np.asarray(lengths)):
-            mask[i, :, :, : int(float(length) * prefix_end)] = True
-            mask[i, :, :, int(float(length) * suffix_start) : int(length)] = True
+            start = int(float(length) * prefix_end)
+            end = int(float(length) * suffix_start)
+            mask[i, :, :, start:end] = False
         return mask
     if edit_mode == "upper_body":
         feat = (

@@ -234,6 +234,14 @@ def main(argv=None):
     )
     takes = getattr(dataset, "takes", [f"take_{i}" for i in range(n_takes)])
 
+    # parse the reference skeleton ONCE (read_bvh tokenizes the whole
+    # file; re-reading per take wastes seconds of host time on large BVHs)
+    reference = (
+        read_bvh(bvh_ref_path, skip_motion=True)
+        if os.path.isfile(bvh_ref_path)
+        else None
+    )
+
     for i in range(n_takes):
         save_file = takes[i] if i < len(takes) else f"take_{i}"
         anim_path = os.path.join(out_path, str(save_file))
@@ -245,11 +253,6 @@ def main(argv=None):
             )
         except Exception as e:  # viz is best-effort (headless envs)
             log_lib.log(f"  (video skipped: {e})")
-        reference = (
-            read_bvh(bvh_ref_path, skip_motion=True)
-            if os.path.isfile(bvh_ref_path)
-            else None
-        )
         export_gesture_bvh(
             anim_path + ".bvh", rotations[i], motions[i][:, 0, :],
             reference=reference, fps=fps,

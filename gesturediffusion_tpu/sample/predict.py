@@ -74,7 +74,7 @@ class Predictor:
             else base_model_fn
         )
         self._model_fn = model_fn
-        self._sample = None
+        self._sample = {}  # per-shape jitted samplers
 
     def predict(
         self,
@@ -100,14 +100,17 @@ class Predictor:
         if self.guidance_param != 1:
             cond["scale"] = jnp.full((b,), self.guidance_param)
 
-        if self._sample is None:
-            self._sample = jax.jit(
-                lambda rng, c: p_sample_loop(
+        # cache one jitted sampler per batch shape (a single cached fn
+        # would silently reuse the FIRST call's shape for later calls
+        # with a different num_repetitions)
+        if shape not in self._sample:
+            self._sample[shape] = jax.jit(
+                lambda rng, c, shape=shape: p_sample_loop(
                     self.diffusion, self._model_fn, shape, rng, c,
                     clip_denoised=False,
                 )
             )
-        sample = self._sample(jax.random.PRNGKey(seed), cond)
+        sample = self._sample[shape](jax.random.PRNGKey(seed), cond)
 
         feats = np.asarray(sample)[:, :, 0, :].transpose(0, 2, 1)
         feats = feats * self.std + self.mean

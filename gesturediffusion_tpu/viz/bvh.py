@@ -57,12 +57,6 @@ class BvhSkeleton:
 def read_bvh(path: str, skip_motion: bool = False) -> BvhSkeleton:
     with open(path) as f:
         tokens = f.read().split()
-    it = iter(range(len(tokens)))
-    pos = 0
-
-    def peek():
-        return tokens[pos]
-
     joints: list[BvhJoint] = []
     stack: list[int] = []
 
@@ -103,7 +97,6 @@ def read_bvh(path: str, skip_motion: bool = False) -> BvhSkeleton:
             stack.pop()
             i += 1
             if not stack:
-                i += 0
                 break
         else:
             i += 1

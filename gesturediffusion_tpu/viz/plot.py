@@ -110,7 +110,13 @@ def plot_3d_motion(
             MAXS[2] - trajec[index, 1],
         )
         used_colors = colors_blue if index in gt_frames else colors
-        for i, (chain, color) in enumerate(zip(kinematic_tree, used_colors)):
+        # cycle colors: skeletons can have more chains than palette entries
+        # (zip would silently truncate rendering to the first 5 chains)
+        from itertools import cycle
+
+        for i, (chain, color) in enumerate(
+            zip(kinematic_tree, cycle(used_colors))
+        ):
             linewidth = 4.0 if i < 5 else 2.0
             ax.plot3D(
                 data[index, chain, 0],

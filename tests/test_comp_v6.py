@@ -84,11 +84,15 @@ class TestTorchParity:
         )
         np.testing.assert_allclose(np.asarray(last_j), last_t.numpy(),
                                    atol=2e-5)
-        # per-word outputs compared within each caption's valid length
+        # FULL sequences including padding: torch pad_packed_sequence
+        # zero-fills positions >= cap_len, and the AttLayer downstream
+        # attends over all T positions, so padding must match exactly
+        np.testing.assert_allclose(
+            np.asarray(seq_j), seq_t.numpy(), atol=2e-5
+        )
         for i, length in enumerate(lens):
             np.testing.assert_allclose(
-                np.asarray(seq_j)[i, :length], seq_t.numpy()[i, :length],
-                atol=2e-5,
+                np.asarray(seq_j)[i, length:], 0.0, atol=0.0
             )
 
     def test_att_layer_parity(self):

@@ -118,3 +118,57 @@ class TestReviewFixesRound2:
         p = MaxMixturePrior(gmm["means"], gmm["covars"], gmm["weights"])
         assert isinstance(p.means, np.ndarray)
         assert isinstance(p.precisions, np.ndarray)
+
+
+class TestReviewFixesRound2b:
+    def test_eval_a2m_rejects_unknown_mode(self, tmp_path):
+        from gesturediffusion_tpu.eval import eval_a2m
+
+        # minimal args.json so the parser's checkpoint override works
+        import json
+
+        ckpt = tmp_path / "model000000001"
+        ckpt.mkdir()
+        (tmp_path / "args.json").write_text(json.dumps(
+            {"dataset": "humanact12", "cond_mask_prob": 0.1}
+        ))
+        with pytest.raises(ValueError, match="eval_mode"):
+            eval_a2m.main([
+                "--model_path", str(ckpt), "--eval_mode", "wo_mm",
+            ])
+
+    def test_in_between_mask_keeps_gt_in_padding(self):
+        import numpy as np
+
+        from gesturediffusion_tpu.sample.edit import build_edit_masks
+
+        motion = np.zeros((2, 8, 1, 20), np.float32)
+        lengths = np.asarray([16, 10])
+        mask = build_edit_masks("in_between", motion, lengths,
+                                prefix_end=0.25, suffix_start=0.75)
+        # sample 0: generate [4, 12), keep GT elsewhere INCLUDING padding
+        assert mask[0, 0, 0, :4].all()
+        assert not mask[0, 0, 0, 4:12].any()
+        assert mask[0, 0, 0, 12:].all()   # suffix + padding region
+        # sample 1 (length 10): padding frames [10, 20) keep GT
+        assert mask[1, 0, 0, 10:].all()
+
+    def test_plot_renders_many_chains(self, tmp_path):
+        import numpy as np
+
+        from gesturediffusion_tpu.viz.plot import plot_3d_motion
+
+        t, j = 4, 12
+        motion = np.cumsum(
+            np.random.RandomState(0).randn(t, j, 3) * 0.01, 0
+        )
+        chains = [[i, i + 1] for i in range(j - 1)]  # 11 chains > 5 colors
+        out = str(tmp_path / "anim.mp4")
+        plot_3d_motion(out, chains, motion, dataset="humanml", title="x",
+                       fps=4)
+        import os
+
+        assert any(
+            os.path.exists(out.replace(".mp4", ext)) or os.path.exists(out)
+            for ext in (".gif", ".mp4")
+        )
