@@ -17,14 +17,20 @@ d256 encoder) and the 41-take chunk batch:
 anchor ≈ 1.2 × (41/32) × 6.49 ≈ 10.0 take-chunks/sec.
 
 Perf notes (measured on v5e, this round; r1 -> r2 gesture
-25.8 -> ~40 take-chunks/s, t2m 7.94 -> ~10.3 samples/s):
+25.8 -> ~45 take-chunks/s (4.5x anchor), t2m 7.94 -> ~10.6 samples/s):
   * local attention runs as a dense band-masked [T,T] matmul at T<=256
     (ops/local_attention.py local_attention_dense) — the windowed/Pallas
     gather formulations lose badly at short T (0.41 -> 0.05 ms/step).
   * each encoder layer runs as ONE fused Pallas kernel with activations
     resident in VMEM (ops/pallas_encoder.py; use_fused_encoder=True,
     identical param tree to the XLA path): -10% gesture chunk time,
-    -23% t2m batch time vs XLA fusion.
+    -23% t2m batch time vs XLA fusion.  The batch block is auto-sized
+    to the largest VMEM-fitting block (gesture 22, t2m 8): the 8-layer
+    gesture encoder drops 0.825 -> 0.780 ms.  Rejected variants
+    (measured): whole-8-layer single kernel (0.93 ms — VMEM pressure
+    kills pipelining), batched-heads dot_general (ties), bf16 matmul
+    outputs (Mosaic verifier rejects), 2-4 take-sets batched per
+    program (+1-2% only — not worth the memory).
   * bf16 activations (flax dtype threading) win another ~7% for the
     d256 gesture model; they HURT the d512 t2m model (f32 matmuls
     already run as single bf16 MXU passes on v5e — casts are pure
@@ -44,13 +50,13 @@ Perf notes (measured on v5e, this round; r1 -> r2 gesture
     cliff too: batch 256 as 4x64 microbatches runs at 21.2 ms/step =
     12.1k samples/s (+28% over full-batch) — a full 600k-step
     production run in 3.5 h on ONE v5e chip.
-  * measured roofline: the fused 8-layer encoder alone costs 0.824
-    ms/step (~107 TFLOP/s sustained, 54% of v5e bf16 peak; Mosaic
+  * measured roofline: the fused 8-layer encoder alone costs 0.780
+    ms/step (~113 TFLOP/s sustained, 57% of v5e bf16 peak; Mosaic
     requires f32 matmul accumulators, so bf16-accumulate is not
-    available); glue (rotary/local-attn/projections) 0.135 ms and
-    sampler math 0.057 ms.  5x the derived anchor would need the WHOLE
+    available); glue (rotary/local-attn/projections) 0.14 ms and
+    sampler math 0.02 ms.  5x the derived anchor would need the WHOLE
     step in <=0.82 ms — i.e. the current encoder time with zero
-    overhead — so 4.1x is where this architecture lands on one v5e
+    overhead — so ~4.5x is where this architecture lands on one v5e
     without changing the model.
 
 GDT_BENCH_CONFIG=humanml reports the round-1 secondary metric

@@ -169,7 +169,7 @@ class FusedTransformerEncoderLayer(nn.Module):
     dim_feedforward: int
     dropout: float = 0.1        # accepted for ctor parity; must be unused
     activation: str = "gelu"
-    block_b: int = 8
+    block_b: Optional[int] = None  # None = auto (largest VMEM-fitting block)
     dtype: Any = None
 
     @nn.compact

@@ -33,6 +33,22 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -jnp.finfo(jnp.float32).max
 LN_EPS = 1e-5
 
+# Budget for the largest f32 intermediate ([block_b*T, ff] gelu activations)
+# when auto-selecting block_b.  Measured on v5e (16 MB VMEM): gesture
+# [82,82,256]f=1024 picks 22 (-6% vs 8); t2m [64,198,512] keeps 8 (block 11
+# exceeds VMEM there); 41 fails to compile at the gesture shape.
+_AUTO_FF_BYTES = 8 << 20
+_AUTO_CANDIDATES = (32, 22, 16, 11, 8, 6, 4, 2, 1)
+
+
+def _auto_block_b(b: int, t_padded: int, ff: int) -> int:
+    """Largest batch-block whose f32 FF intermediate fits the VMEM budget."""
+    for bb in _AUTO_CANDIDATES:
+        if bb * t_padded * ff * 4 <= _AUTO_FF_BYTES:
+            # no point padding b up beyond one grid step
+            return min(bb, b) if b <= bb else bb
+    return 1
+
 
 def _layer_norm_f32(x, scale, bias):
     xf = x.astype(jnp.float32)
@@ -121,7 +137,7 @@ def fused_encoder_layer(
     ln2_scale: jax.Array, ln2_bias: jax.Array,
     *,
     num_heads: int,
-    block_b: int = 8,
+    block_b: int | None = None,
     interpret: bool = False,
 ) -> jax.Array:
     """One post-LN encoder layer, fused.  x: [B, T, D] -> [B, T, D].
@@ -129,11 +145,15 @@ def fused_encoder_layer(
     Weights follow the packed layout of
     models/transformer.py::TransformerEncoderLayer
     (wqkv [D, 3D], wo [D, D], w1 [D, F], w2 [F, D]; LN scale/bias [D]).
+
+    block_b=None auto-selects the largest VMEM-fitting batch block.
     """
     b, t, d = x.shape
     f = w1.shape[1]
     assert d % num_heads == 0
 
+    if block_b is None:
+        block_b = _auto_block_b(b, t + (-t % 8), f)
     # pad T to the f32 sublane tile and B to the block size
     t_pad = -t % 8
     b_pad = -b % block_b

@@ -89,6 +89,34 @@ class TestFusedEncoderLayerKernel:
             np.asarray(got), np.asarray(want), atol=1e-4
         )
 
+    def test_auto_block_b_known_shapes(self):
+        """The VMEM-fit rule must reproduce the measured-good blocks:
+        gesture [82,82,256]/ff1024 -> 22, t2m [64,198,512]/ff1024 -> 8."""
+        from gesturediffusion_tpu.ops.pallas_encoder import _auto_block_b
+
+        assert _auto_block_b(82, 88, 1024) == 22
+        assert _auto_block_b(64, 200, 1024) == 8
+        # tiny batches never pad up past one grid step
+        assert _auto_block_b(3, 88, 1024) == 3
+
+    def test_auto_block_matches_explicit(self):
+        """block_b=None (auto) must be numerically identical to explicit."""
+        rs = np.random.RandomState(7)
+        x = jnp.asarray(rs.randn(5, 81, 256) * 0.5, jnp.float32)
+        layer = TransformerEncoderLayer(
+            d_model=256, num_heads=4, dim_feedforward=1024, dropout=0.0
+        )
+        params = layer.init(jax.random.PRNGKey(0), x)["params"]
+        want = fused_encoder_layer(
+            x, *_layer_args(params), num_heads=4, block_b=2, interpret=True
+        )
+        got = fused_encoder_layer(
+            x, *_layer_args(params), num_heads=4, interpret=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=1e-5
+        )
+
     def test_fused_layer_rejects_training_mode(self):
         x = jnp.zeros((2, 12, 64))
         kw = dict(d_model=64, num_heads=4, dim_feedforward=128)
