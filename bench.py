@@ -30,7 +30,11 @@ Perf notes (measured on v5e, this round; r1 -> r2 gesture
     (measured): whole-8-layer single kernel (0.93 ms — VMEM pressure
     kills pipelining), batched-heads dot_general (ties), bf16 matmul
     outputs (Mosaic verifier rejects), 2-4 take-sets batched per
-    program (+1-2% only — not worth the memory).
+    program (+1-2% only — not worth the memory), and a fused-CFG MDM
+    forward (shared pose/audio trunk at B + guidance lerp on the
+    pre-output latent; exact and parity-tested, but TIES the generic
+    stacked-2B wrapper at 0.93 ms/step — the glue is already at its
+    bandwidth floor, so the model keeps the simpler generic path).
   * bf16 activations (flax dtype threading) win another ~7% for the
     d256 gesture model; they HURT the d512 t2m model (f32 matmuls
     already run as single bf16 MXU passes on v5e — casts are pure
