@@ -88,9 +88,10 @@ def shard_params_tp(
         boundaries, so a head can straddle shards (GSPMD stays correct
         but inserts extra collectives);
       * packed QKV kernels [D, 3D] shard across the q/k/v split;
-      * correctness is covered by the 8-device dryrun + the sharded-vs-
-        single-device equivalence test at test scale
-        (tests/test_train.py::TestSharding), not at CLI scale.
+      * correctness is covered by the 8-device dryrun + sharded-vs-single
+        numeric equivalence tests at test scale for BOTH dp-only and
+        dp=4 x tp=2 layouts (tests/test_train.py::TestSharding), not at
+        CLI scale.
     """
     tp = mesh.shape["model"]
 
