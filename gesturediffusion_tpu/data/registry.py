@@ -85,6 +85,14 @@ def get_dataset_loader(
     dataset = get_dataset(
         name, num_frames, split, datapath, n_seed_poses=n_seed_poses, **kwargs
     )
+    if len(dataset) < batch_size:
+        # fail loudly here: with drop_last the loader would silently yield
+        # ZERO batches (classic cause: num_frames longer than every clip)
+        raise ValueError(
+            f"dataset [{name}] split={split!r} has {len(dataset)} usable "
+            f"items < batch_size={batch_size} (check --num_frames "
+            f"{num_frames} against the clip lengths and the data_dir)"
+        )
     if name in ("humanact12", "uestc"):
         from gesturediffusion_tpu.data.a2m import collate_a2m
 

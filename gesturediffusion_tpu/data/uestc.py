@@ -59,11 +59,12 @@ def get_trans_from_vibe(vibe, index, use_z=True) -> np.ndarray:
 
 
 def _matrix_to_axis_angle_np(m: np.ndarray) -> np.ndarray:
-    # via quaternion (numpy twin of ops.rotations)
-    from gesturediffusion_tpu.ops import rotations as R
-    import jax.numpy as jnp
+    # pure-numpy twin of ops.rotations.matrix_to_axis_angle: data loading
+    # must never pay a device round-trip (eager readback through the TPU
+    # tunnel can hang/crash)
+    from gesturediffusion_tpu.ops.rotations_np import matrix_to_axis_angle_np
 
-    return np.asarray(R.matrix_to_axis_angle(jnp.asarray(m)))
+    return matrix_to_axis_angle_np(m)
 
 
 class UESTC(A2MDataset):

@@ -485,6 +485,34 @@ def _existing(path: Optional[str]) -> Optional[str]:
     return path if path and os.path.exists(path) else None
 
 
+def make_a2m_evaluation(dataset_name: str):
+    """Benchmark-evaluation object for an a2m dataset, resolving the
+    classifier checkpoint from its env var / default asset path in ONE
+    place (shared by the CLI and the in-training eval hook).
+
+    uestc -> STGCNA2MEvaluation over $UESTC_STGCN_PATH
+    (reference: eval/a2m/stgcn_eval.py:87-95); anything else ->
+    A2MEvaluation over $A2M_CLASSIFIER_PATH
+    (reference: eval/a2m/gru_eval.py:60-68)."""
+    if dataset_name == "uestc":
+        return STGCNA2MEvaluation(
+            checkpoint_path=_existing(
+                os.environ.get(
+                    "UESTC_STGCN_PATH",
+                    "assets/actionrecognition/uestc_rot6d_stgcn.tar",
+                )
+            ),
+        )
+    return A2MEvaluation(
+        checkpoint_path=_existing(
+            os.environ.get(
+                "A2M_CLASSIFIER_PATH",
+                "assets/actionrecognition/humanact12_gru.tar",
+            )
+        ),
+    )
+
+
 def make_a2m_training_eval_fn(args, model, diffusion, dataset, log=None):
     """In-training a2m benchmark hook (reference: training_loop.py:188-199
     — num_seeds=eval_rep_times, num_samples=eval_num_samples, guidance 1).
@@ -505,24 +533,7 @@ def make_a2m_training_eval_fn(args, model, diffusion, dataset, log=None):
         os.environ.get("SMPL_MODEL_PATH", "body_models/smpl/SMPL_NEUTRAL.pkl")
     )
 
-    if args.dataset == "uestc":
-        evaluation_obj = STGCNA2MEvaluation(
-            checkpoint_path=_existing(
-                os.environ.get(
-                    "UESTC_STGCN_PATH",
-                    "assets/actionrecognition/uestc_rot6d_stgcn.tar",
-                )
-            ),
-        )
-    else:
-        evaluation_obj = A2MEvaluation(
-            checkpoint_path=_existing(
-                os.environ.get(
-                    "A2M_CLASSIFIER_PATH",
-                    "assets/actionrecognition/humanact12_gru.tar",
-                )
-            ),
-        )
+    evaluation_obj = make_a2m_evaluation(args.dataset)
 
     num_frames = 60
 
@@ -652,15 +663,8 @@ def main(argv=None):
         )
 
     cond_mode = "no_cond" if args.unconstrained else "action"
+    evaluation = make_a2m_evaluation(args.dataset)
     if args.dataset == "uestc":
-        evaluation = STGCNA2MEvaluation(
-            checkpoint_path=_existing(
-                os.environ.get(
-                    "UESTC_STGCN_PATH",
-                    "assets/actionrecognition/uestc_rot6d_stgcn.tar",
-                )
-            ),
-        )
         summary = evaluate_uestc(
             sample_fn, fk_fn, dataset, evaluation,
             num_seeds=mode["num_seeds"], num_samples=mode["num_samples"],
@@ -668,14 +672,6 @@ def main(argv=None):
             log=log_lib.log,
         )
     else:
-        evaluation = A2MEvaluation(
-            checkpoint_path=_existing(
-                os.environ.get(
-                    "A2M_CLASSIFIER_PATH",
-                    "assets/actionrecognition/humanact12_gru.tar",
-                )
-            ),
-        )
         summary = evaluate_humanact12(
             sample_fn, fk_fn, dataset, evaluation,
             num_seeds=mode["num_seeds"], num_samples=mode["num_samples"],
@@ -687,11 +683,9 @@ def main(argv=None):
                 UnconstrainedEvaluator,
             )
 
-            # full protocol uses 1000 unconstrained samples
-            # (reference: gru_eval.py:17,112)
-            n_unconstrained = (
-                1000 if args.eval_mode == "full" else mode["num_samples"]
-            )
+            # full protocol uses 1000 unconstrained samples, matching
+            # the mode table (reference: gru_eval.py:17,112)
+            n_unconstrained = mode["num_samples"]
             evaluator = UnconstrainedEvaluator(
                 checkpoint_path=_existing(
                     os.environ.get(

@@ -344,16 +344,20 @@ EVAL_MODES = {
 }
 
 
-def load_eval_renorm(dataset, log=None):
+def load_eval_renorm(dataset, log=None, dataset_name="humanml"):
     """(our_mean, our_std, eval_mean, eval_std) renorm tuple when the T2M
-    evaluator stats ship at dataset/t2m_{mean,std}.npy; None (with a loud
-    log) otherwise.  Both files must exist."""
+    evaluator stats ship at dataset/{t2m|kit}_{mean,std}.npy; None (with a
+    loud log) otherwise.  Both files must exist.  Stats are per-dataset —
+    t2m_* for HumanML3D (263-dim), kit_* for KIT (251-dim) — matching the
+    reference's `{opt.dataset_name}_mean.npy` convention
+    (reference: data_loaders/humanml/data/dataset.py:756)."""
     log = log or log_lib.log
-    mean_p = os.path.join("dataset", "t2m_mean.npy")
-    std_p = os.path.join("dataset", "t2m_std.npy")
+    prefix = "kit" if dataset_name == "kit" else "t2m"
+    mean_p = os.path.join("dataset", f"{prefix}_mean.npy")
+    std_p = os.path.join("dataset", f"{prefix}_std.npy")
     if os.path.isfile(mean_p) and os.path.isfile(std_p):
         return (dataset.mean, dataset.std, np.load(mean_p), np.load(std_p))
-    log("t2m evaluator norm stats not found — generated motions "
+    log(f"{prefix} evaluator norm stats not found — generated motions "
         "evaluated in training normalization (NOT metric-parity)")
     return None
 
@@ -405,7 +409,8 @@ def make_training_eval_fn(args, model, diffusion, text_encoder=None,
         )
     gt_loader = GroundTruthMotionSet(dataset, batch_size=batch_size)
 
-    renorm = load_eval_renorm(dataset, log)
+    renorm = load_eval_renorm(dataset, log,
+                              dataset_name=args.dataset)
     eval_wrapper = EvaluatorWrapper(args.dataset, dim_pose=dataset.pose_dim)
 
     shape = (batch_size, dataset.pose_dim, 1, 196)
@@ -521,8 +526,8 @@ def main(argv=None):
 
     # renorm from the training normalization to the frozen T2M evaluator's
     # convention (reference: comp_v6_model_dataset.py:246-250); eval stats
-    # ship as dataset/t2m_mean.npy + t2m_std.npy
-    renorm = load_eval_renorm(dataset)
+    # ship as dataset/{t2m|kit}_{mean,std}.npy
+    renorm = load_eval_renorm(dataset, dataset_name=args.dataset)
 
     from gesturediffusion_tpu.utils.text_embedder import get_text_encoder
 

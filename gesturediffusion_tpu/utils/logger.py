@@ -189,11 +189,12 @@ def configure(
     dir: Optional[str] = None, format_strs: Optional[list] = None
 ) -> Logger:
     """Configure the global logger.  Env contract matches the reference
-    (diffusion/logger.py:442-467): OPENAI_LOGDIR overrides the dir and
-    OPENAI_LOG_FORMAT is a comma-separated sink list
-    (stdout,log,json,csv,tensorboard)."""
+    (diffusion/logger.py:442-467): OPENAI_LOGDIR fills in the dir only
+    when none was passed explicitly, and OPENAI_LOG_FORMAT is a
+    comma-separated sink list (stdout,log,json,csv,tensorboard)."""
     global _GLOBAL
-    dir = os.environ.get("OPENAI_LOGDIR") or dir
+    if not dir:
+        dir = os.environ.get("OPENAI_LOGDIR")
     if format_strs is None:
         env_fmt = os.environ.get("OPENAI_LOG_FORMAT")
         if env_fmt:

@@ -16,6 +16,7 @@ stands in (loudly logged).
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
@@ -25,7 +26,15 @@ import optax
 
 from gesturediffusion_tpu.models.smpl import SMPLModel
 from gesturediffusion_tpu.ops import rotations as R
-from gesturediffusion_tpu.viz.prior import MaxMixturePrior, angle_prior
+from gesturediffusion_tpu.viz.prior import (
+    MaxMixturePrior,
+    angle_prior,
+    load_gmm_prior,
+)
+
+# default gmm_08.pkl location (prepare/README.md asset table); override
+# with the GMM_PRIOR_PATH env var
+DEFAULT_GMM_PRIOR_PATH = "body_models/joints2smpl/gmm_08.pkl"
 
 # reference: customloss.py:132-134
 POSE_PRIOR_WEIGHT = 4.78 * 1.5
@@ -63,19 +72,26 @@ def joints2smpl(
 
     Stage 2 uses the reference's body-fitting objective
     (customloss.py:128-188): gmof robust joint loss + GMM pose prior +
-    knee/elbow angle prior.  Without `pose_prior` an L2 body-pose prior
-    substitutes (logged loudly; provide gmm_08.pkl via
-    `viz.prior.load_gmm_prior` for reference parity).
+    knee/elbow angle prior.  When `pose_prior` is not given, gmm_08.pkl
+    is loaded automatically from $GMM_PRIOR_PATH (default
+    body_models/joints2smpl/gmm_08.pkl); only if that asset is absent
+    does an L2 body-pose prior substitute (logged loudly).
 
     Returns {'thetas': [T, 24, 3] axis-angle, 'root_translation': [T, 3],
     'loss': keypoint mean-squared error after each stage}.
     """
     if pose_prior is None:
+        # wire the reference prior automatically when the asset is present
+        pose_prior = load_gmm_prior(
+            os.environ.get("GMM_PRIOR_PATH", DEFAULT_GMM_PRIOR_PATH)
+        )
+    if pose_prior is None:
         from gesturediffusion_tpu.utils import logger as log_lib
 
         log_lib.log(
             "WARNING: joints2smpl running WITHOUT the GMM pose prior "
-            "(gmm_08.pkl not provided) — using an L2 body-pose prior; "
+            "(gmm_08.pkl not found at $GMM_PRIOR_PATH or "
+            f"{DEFAULT_GMM_PRIOR_PATH}) — using an L2 body-pose prior; "
             "fits will differ from the reference objective."
         )
     t = joints.shape[0]

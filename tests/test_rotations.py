@@ -104,6 +104,25 @@ class TestRotations:
         np.testing.assert_allclose(ours_aa, ref_aa, atol=1e-5)
 
 
+class TestNumpyTwins:
+    def test_matrix_to_axis_angle_np_matches_jax(self):
+        """Host-side loaders (data/uestc.py view correction) must get the
+        same conversion as the device path — pure numpy, no round-trip."""
+        from gesturediffusion_tpu.ops.rotations_np import (
+            matrix_to_axis_angle_np,
+        )
+
+        m = np.asarray(_random_rotmats(96), np.float64)
+        got = matrix_to_axis_angle_np(m)
+        want = np.asarray(R.matrix_to_axis_angle(jnp.asarray(m)))
+        np.testing.assert_allclose(got, want, atol=1e-5)
+        # identity edge case (zero angle)
+        eye = np.broadcast_to(np.eye(3), (4, 3, 3))
+        np.testing.assert_allclose(
+            matrix_to_axis_angle_np(eye), np.zeros((4, 3)), atol=1e-7
+        )
+
+
 class TestQuaternionToolbox:
     def test_qmul_matches_matrix_composition(self):
         q1 = R.random_quaternions(KEY, 32)

@@ -153,6 +153,82 @@ class TestReviewFixesRound2b:
         # sample 1 (length 10): padding frames [10, 20) keep GT
         assert mask[1, 0, 0, 10:].all()
 
+    def test_explicit_dir_beats_openai_logdir(self, tmp_path, monkeypatch):
+        """An explicitly passed dir must win over $OPENAI_LOGDIR so
+        --save_dir monitoring keeps working (the env var only fills in
+        when no dir was given, matching reference logger.py:442-447)."""
+        env_dir = tmp_path / "env"
+        arg_dir = tmp_path / "arg"
+        monkeypatch.setenv("OPENAI_LOGDIR", str(env_dir))
+        monkeypatch.delenv("OPENAI_LOG_FORMAT", raising=False)
+        logger = log_lib.configure(str(arg_dir))
+        assert logger.dir == str(arg_dir)
+
+    def test_load_eval_renorm_is_per_dataset(self, tmp_path, monkeypatch):
+        """kit eval must load kit_{mean,std}.npy (251-dim), and must NOT
+        fall back to t2m stats (263-dim) — mixing them broadcasts-errors
+        mid-training (reference: humanml/data/dataset.py:756)."""
+        import numpy as np
+
+        from gesturediffusion_tpu.eval.eval_humanml import load_eval_renorm
+
+        monkeypatch.chdir(tmp_path)
+        d = tmp_path / "dataset"
+        d.mkdir()
+        np.save(d / "kit_mean.npy", np.zeros(251, np.float32))
+        np.save(d / "kit_std.npy", np.ones(251, np.float32))
+
+        class DS:
+            mean = np.zeros(251, np.float32)
+            std = np.ones(251, np.float32)
+
+        got = load_eval_renorm(DS(), dataset_name="kit")
+        assert got is not None and got[2].shape == (251,)
+        # humanml needs t2m_* which is absent here -> no renorm
+        assert load_eval_renorm(DS(), dataset_name="humanml") is None
+
+    def test_joints2smpl_autoloads_gmm_prior(self, tmp_path, monkeypatch):
+        """With gmm_08.pkl present at $GMM_PRIOR_PATH, joints2smpl must
+        pick up the reference GMM prior without an explicit pose_prior
+        argument (no L2-fallback warning)."""
+        import pickle
+
+        import jax.numpy as jnp
+        import numpy as np
+
+        from gesturediffusion_tpu.models.smpl import make_synthetic_smpl
+        from gesturediffusion_tpu.viz import prior as prior_mod
+        from gesturediffusion_tpu.viz.joints2smpl import (
+            _fk_joints,
+            joints2smpl,
+        )
+
+        gmm = prior_mod.make_synthetic_gmm(n_gaussians=2, dim=69, seed=7)
+        path = tmp_path / "gmm_08.pkl"
+        with open(path, "wb") as f:
+            pickle.dump(gmm, f)
+        monkeypatch.setenv("GMM_PRIOR_PATH", str(path))
+
+        messages = []
+        monkeypatch.setattr(log_lib, "log",
+                            lambda *a, **k: messages.append(" ".join(
+                                str(x) for x in a)))
+
+        smpl = make_synthetic_smpl(n_vertices=96)
+        rs = np.random.RandomState(0)
+        target = np.asarray(_fk_joints(
+            smpl,
+            jnp.asarray(rs.randn(2, 24, 3) * 0.1, jnp.float32),
+            jnp.asarray(rs.randn(2, 3) * 0.1, jnp.float32),
+        ))
+        joints2smpl(smpl, target, num_smplify_iters=2, lr=0.05)
+        assert not any("WITHOUT the GMM pose prior" in m for m in messages)
+
+        # and with the asset absent, the fallback warns loudly
+        monkeypatch.setenv("GMM_PRIOR_PATH", str(tmp_path / "missing.pkl"))
+        joints2smpl(smpl, target, num_smplify_iters=2, lr=0.05)
+        assert any("WITHOUT the GMM pose prior" in m for m in messages)
+
     def test_plot_renders_many_chains(self, tmp_path):
         import numpy as np
 
