@@ -17,7 +17,28 @@ d256 encoder) and the 41-take chunk batch:
 anchor ≈ 1.2 × (41/32) × 6.49 ≈ 10.0 take-chunks/sec.
 
 Perf notes (measured on v5e, this round; r1 -> r2 gesture
-25.8 -> ~45 take-chunks/s (4.5x anchor), t2m 7.94 -> ~10.6 samples/s):
+25.8 -> ~47 take-chunks/s (4.7x anchor), t2m 7.94 -> ~10.6 samples/s):
+  * sampling fast path (models/mdm_fastpath.py): the denoise scan calls
+    the model 1000x with constant conditioning.  XLA's loop-invariant
+    code motion already hoists the seed/audio encoders (measured: the
+    hoist alone is a wash) — the real wins were (a) running the
+    rope1+band-attention+prepend+rope2 pre-encoder block as ONE
+    VMEM-resident Pallas kernel (ops/pallas_local_block.py; the XLA
+    formulation loses ~0.075 ms/step to [B,T,256]->[B,8,T,32] relayouts
+    whose 32-wide lanes waste 3/4 of each tile register), with
+    rotate-half as a constant permutation-sign MATMUL instead of a
+    16-piece lane-slice concat (-15% kernel time); and (b) the CFG
+    combine running in bf16 before one f32 cast.  Take-level step cost:
+    encoder 8 x 0.0935 ms + everything else 0.13 -> 0.878 ms/step.
+  * time-major [B,T,J] sampling layout (layout='btj'): measured a WASH
+    at take level — XLA fuses the per-step [B,J,T]<->[B,T,J] transposes
+    into the adjacent matmuls (identical compiled programs; kept as an
+    option, default off).
+  * measurement gotcha: through the axon tunnel, block_until_ready on
+    SMALL programs returns before execution completes — host-side
+    micro-benchmarks are garbage.  Time only multi-second programs, and
+    force a scalar readback (float(jnp.sum(out))) before reading the
+    clock.
   * local attention runs as a dense band-masked [T,T] matmul at T<=256
     (ops/local_attention.py local_attention_dense) — the windowed/Pallas
     gather formulations lose badly at short T (0.41 -> 0.05 ms/step).
@@ -97,6 +118,7 @@ def bench_gesture():
     )
     from gesturediffusion_tpu.models.cfg import classifier_free_guidance
     from gesturediffusion_tpu.models.mdm import MDM
+    from gesturediffusion_tpu.models.mdm_fastpath import make_fast_cfg_fn
     from gesturediffusion_tpu.utils.cache import enable_compilation_cache
     from gesturediffusion_tpu.utils.fixseed import set_prng_impl
 
@@ -121,9 +143,15 @@ def bench_gesture():
     params = model.init(
         jax.random.PRNGKey(0), x0, jnp.zeros((B,), jnp.int32), cond_init
     )
-    model_fn = classifier_free_guidance(
-        lambda x, t, c: model.apply(params, x, t, c), 0.1
-    )
+    if os.environ.get("GDT_BENCH_FASTPATH", "1") == "1":
+        # sampling fast path: loop-invariant conditioning hoisted out of
+        # the 1000-step scan, input projections composed into one matmul
+        precompute_cfg, model_fn = make_fast_cfg_fn(model, params, 0.1)
+    else:
+        precompute_cfg = None
+        model_fn = classifier_free_guidance(
+            lambda x, t, c: model.apply(params, x, t, c), 0.1
+        )
     chunk_conds = {
         "mfcc": jnp.asarray(rs.randn(C, B, 26, 1, T), jnp.float32),
         "scale": jnp.full((C, B), 2.5, jnp.float32),
@@ -132,7 +160,8 @@ def bench_gesture():
     @jax.jit
     def take(rng, cc, seed0):
         return autoregressive_sample_loop(
-            diffusion, model_fn, (B, J, 1, T), rng, cc, seed0, S
+            diffusion, model_fn, (B, J, 1, T), rng, cc, seed0, S,
+            cond_precompute=precompute_cfg,
         )
 
     out = jax.block_until_ready(

@@ -398,6 +398,8 @@ def autoregressive_sample_loop(
     *,
     loop: Callable = p_sample_loop,
     clip_denoised: bool = False,
+    cond_precompute: Optional[Callable] = None,
+    time_axis: int = -1,
 ) -> jax.Array:
     """Chunked autoregressive generation as ONE device program.
 
@@ -412,20 +414,36 @@ def autoregressive_sample_loop(
         per-chunk mask/lengths/mfcc/scale/... arrays, WITHOUT 'seed').
       init_seed: [B, J, F, S] seed poses for the first chunk (dataset GT).
       seed_poses: S, frames handed off between chunks.
+      cond_precompute: optional cond -> cond' transform run ONCE per chunk
+        before the inner denoise scan — the hook for hoisting
+        loop-invariant conditioning out of the 1000-step loop (see
+        models/mdm_fastpath.py; pass its precompute with the matching
+        fast model_fn).
+      time_axis: which axis of `shape` is time, for the seed hand-off
+        slice.  -1 (default) is the canonical [B, J, F, T] layout; pass 1
+        for the time-major [B, T, J*F] fast layout (the carried seed is
+        then [B, S, J*F]).
 
-    Returns [C, B, J, F, T] samples for every chunk.
+    Returns [C, B, J, F, T] samples for every chunk ([C, B, T, J*F] when
+    time_axis=1).
     """
+    if time_axis not in (-1, len(shape) - 1, 1):
+        raise ValueError(f"unsupported time_axis {time_axis}")
+    tm = time_axis == 1 and len(shape) != 2
 
     def body(carry, cond_c):
         seed, k = carry
         chunk_rng = jax.random.fold_in(rng, k)
         cond = dict(cond_c)
         cond["seed"] = seed
+        if cond_precompute is not None:
+            cond = cond_precompute(cond)
         out = loop(
             diffusion, model_fn, shape, chunk_rng, cond,
             clip_denoised=clip_denoised,
         )
-        return (out[..., -seed_poses:], k + 1), out
+        handoff = out[:, -seed_poses:] if tm else out[..., -seed_poses:]
+        return (handoff, k + 1), out
 
     (_, _), outs = jax.lax.scan(
         body, (init_seed, jnp.asarray(0, jnp.int32)), chunk_conds

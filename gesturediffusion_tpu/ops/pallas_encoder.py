@@ -42,7 +42,13 @@ _AUTO_CANDIDATES = (32, 22, 16, 11, 8, 6, 4, 2, 1)
 
 
 def _auto_block_b(b: int, t_padded: int, ff: int) -> int:
-    """Largest batch-block whose f32 FF intermediate fits the VMEM budget."""
+    """Largest batch-block whose f32 FF intermediate fits the VMEM budget.
+    $GDT_ENC_BLOCK overrides the choice (perf-tuning knob)."""
+    import os
+
+    env = os.environ.get("GDT_ENC_BLOCK")
+    if env:
+        return min(int(env), b)
     for bb in _AUTO_CANDIDATES:
         if bb * t_padded * ff * 4 <= _AUTO_FF_BYTES:
             # no point padding b up beyond one grid step

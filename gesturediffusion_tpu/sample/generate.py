@@ -111,7 +111,30 @@ def main(argv=None):
     def base_model_fn(x, t, c):
         return model.apply(params, x, t, c)
 
-    if args.guidance_param != 1:
+    # MDM sampling fast path: hoist the loop-invariant conditioning out of
+    # the denoise scan (models/mdm_fastpath.py); exact in f32, bf16-rounding
+    # otherwise.  --no_fast_sampler falls back to the straight module apply.
+    from gesturediffusion_tpu.models.mdm import MDM as _MDM
+
+    cond_precompute = None
+    use_fast = (
+        not getattr(args, "no_fast_sampler", False)
+        and isinstance(model, _MDM)
+        and model.mfcc_input
+    )
+    if use_fast:
+        from gesturediffusion_tpu.models.mdm_fastpath import (
+            make_fast_cfg_fn,
+            make_fast_model_fn,
+        )
+
+        if args.guidance_param != 1:
+            cond_precompute, model_fn = make_fast_cfg_fn(
+                model, params, args.cond_mask_prob
+            )
+        else:
+            cond_precompute, model_fn = make_fast_model_fn(model, params)
+    elif args.guidance_param != 1:
         model_fn = classifier_free_guidance(
             base_model_fn, cond_mask_prob=args.cond_mask_prob
         )
@@ -171,6 +194,7 @@ def main(argv=None):
         return sampling.autoregressive_sample_loop(
             diffusion, model_fn, shape, rng, chunk_conds, seed0,
             args.seed_poses, loop=loop, clip_denoised=False,
+            cond_precompute=cond_precompute,
         )
 
     outs = np.asarray(

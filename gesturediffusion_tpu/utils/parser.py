@@ -168,6 +168,10 @@ def add_sampling_options(parser: ArgumentParser):
     group.add_argument("--use_fused_encoder", action="store_true",
                        help="Run encoder layers as fused Pallas kernels "
                             "(same param tree; inference speedup on TPU).")
+    group.add_argument("--no_fast_sampler", action="store_true",
+                       help="Disable the MDM sampling fast path "
+                            "(models/mdm_fastpath.py: loop-invariant "
+                            "conditioning hoisted out of the denoise scan).")
 
 
 def add_generate_options(parser: ArgumentParser):

@@ -1,0 +1,236 @@
+"""Parity tests for the MDM sampling fast path (models/mdm_fastpath.py).
+
+The fast path must match `MDM.apply(..., train=False)` exactly (f32):
+same math, reassociated — composed input weights, hoisted conditioning.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gesturediffusion_tpu.models.cfg import classifier_free_guidance
+from gesturediffusion_tpu.models.mdm import MDM
+from gesturediffusion_tpu.models.mdm_fastpath import (
+    make_fast_cfg_fn,
+    make_fast_model_fn,
+)
+
+B, J, F, T, S, A, D = 3, 24, 1, 16, 4, 8, 32
+
+
+def _build(use_text=False, dtype=jnp.float32):
+    model = MDM(
+        njoints=J, latent_dim=D, num_layers=2, ff_size=64, num_heads=4,
+        seed_poses=S, cond_mask_prob=0.1, mfcc_dim=A, use_text=use_text,
+        text_dim=16 if use_text else 64, window_size=5, dtype=dtype,
+    )
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.randn(B, J, F, T), jnp.float32)
+    cond = {
+        "mfcc": jnp.asarray(rs.randn(B, A, 1, T), jnp.float32),
+        "seed": jnp.asarray(rs.randn(B, J, F, S), jnp.float32),
+    }
+    if use_text:
+        cond["text_emb"] = jnp.asarray(rs.randn(B, 512), jnp.float32)
+    params = model.init(
+        jax.random.PRNGKey(0), x, jnp.zeros((B,), jnp.int32), cond
+    )
+    t = jnp.asarray([0, 3, 7], jnp.int32)
+    return model, params, x, t, cond
+
+
+class TestFastPathParity:
+    @pytest.mark.parametrize("use_text", [False, True])
+    def test_matches_standard_forward(self, use_text):
+        model, params, x, t, cond = _build(use_text)
+        want = model.apply(params, x, t, cond)
+        precompute, fast_fn = make_fast_model_fn(model, params)
+        got = fast_fn(x, t, precompute(cond))
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-5
+        )
+
+    def test_uncond_mask_respected(self):
+        model, params, x, t, cond = _build()
+        cond_u = dict(cond, uncond=jnp.asarray([0.0, 1.0, 1.0]))
+        want = model.apply(params, x, t, cond_u)
+        precompute, fast_fn = make_fast_model_fn(model, params)
+        got = fast_fn(x, t, precompute(cond_u))
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-5
+        )
+
+    def test_cfg_matches_wrapper(self):
+        model, params, x, t, cond = _build()
+        cond_s = dict(cond, scale=jnp.full((B,), 2.5, jnp.float32))
+        want = classifier_free_guidance(
+            lambda xx, tt, cc: model.apply(params, xx, tt, cc), 0.1
+        )(x, t, cond_s)
+        precompute_cfg, guided = make_fast_cfg_fn(model, params, 0.1)
+        got = guided(x, t, precompute_cfg(cond_s))
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-5
+        )
+
+    def test_fused_local_block_route_matches_standard(self):
+        """use_fused_encoder routes the pre-encoder block through the
+        fused kernel (interpret on CPU) — must still match MDM.apply."""
+        model = MDM(
+            njoints=J, latent_dim=D, num_layers=2, ff_size=64, num_heads=4,
+            seed_poses=S, cond_mask_prob=0.1, mfcc_dim=A, window_size=5,
+            use_fused_encoder=True,
+        )
+        rs = np.random.RandomState(3)
+        x = jnp.asarray(rs.randn(B, J, F, T), jnp.float32)
+        cond = {
+            "mfcc": jnp.asarray(rs.randn(B, A, 1, T), jnp.float32),
+            "seed": jnp.asarray(rs.randn(B, J, F, S), jnp.float32),
+        }
+        params = model.init(
+            jax.random.PRNGKey(0), x, jnp.zeros((B,), jnp.int32), cond
+        )
+        t = jnp.asarray([0, 3, 7], jnp.int32)
+        want = model.apply(params, x, t, cond)
+        precompute, fast_fn = make_fast_model_fn(model, params)
+        got = fast_fn(x, t, precompute(cond))
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-5
+        )
+
+    def test_bf16_close_to_standard_bf16(self):
+        model, params, x, t, cond = _build(dtype=jnp.bfloat16)
+        want = np.asarray(model.apply(params, x, t, cond), np.float32)
+        precompute, fast_fn = make_fast_model_fn(model, params)
+        got = np.asarray(fast_fn(x, t, precompute(cond)), np.float32)
+        # bf16 reassociation: allow a few ulps relative to activations
+        scale = np.maximum(np.abs(want).max(), 1.0)
+        assert np.max(np.abs(got - want)) / scale < 0.05
+
+    def test_wav_enc_rejected(self):
+        model = MDM(njoints=J, latent_dim=D, num_layers=1, ff_size=64,
+                    seed_poses=S, cond_mask_prob=0.1,
+                    mfcc_input=False, use_wav_enc=True)
+        with pytest.raises(NotImplementedError, match="MFCC"):
+            make_fast_model_fn(model, {"params": {}})
+
+    def test_ar_loop_with_precompute_matches_standard(self):
+        """autoregressive_sample_loop(cond_precompute=...) + fast guided fn
+        must reproduce the standard CFG path bit-for-bit-close in f32."""
+        from gesturediffusion_tpu.diffusion import (
+            ModelMeanType,
+            create_diffusion,
+        )
+        from gesturediffusion_tpu.diffusion.sampling import (
+            autoregressive_sample_loop,
+        )
+
+        model, params, x, t, cond = _build()
+        diffusion = create_diffusion(
+            steps=6, model_mean_type=ModelMeanType.START_X
+        )
+        C = 2
+        rs = np.random.RandomState(1)
+        chunk_conds = {
+            "mfcc": jnp.asarray(rs.randn(C, B, A, 1, T), jnp.float32),
+            "scale": jnp.full((C, B), 2.5, jnp.float32),
+        }
+        rng = jax.random.PRNGKey(0)
+
+        std_fn = classifier_free_guidance(
+            lambda xx, tt, cc: model.apply(params, xx, tt, cc), 0.1
+        )
+        want = autoregressive_sample_loop(
+            diffusion, std_fn, (B, J, F, T), rng, chunk_conds,
+            cond["seed"], S,
+        )
+        precompute_cfg, guided = make_fast_cfg_fn(model, params, 0.1)
+        got = autoregressive_sample_loop(
+            diffusion, guided, (B, J, F, T), rng, chunk_conds,
+            cond["seed"], S, cond_precompute=precompute_cfg,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=5e-4, atol=5e-4
+        )
+
+    def test_time_major_layout_matches_standard(self):
+        """layout='btj' runs the identical function on [B,T,J*F] state."""
+        model, params, x, t, cond = _build()
+        want = np.asarray(model.apply(params, x, t, cond))  # [B,J,F,T]
+        precompute, fast_fn = make_fast_model_fn(model, params,
+                                                 layout="btj")
+        x_tm = jnp.asarray(
+            np.asarray(x).reshape(B, J * F, T).transpose(0, 2, 1)
+        )
+        got = np.asarray(fast_fn(x_tm, t, precompute(cond)))  # [B,T,J*F]
+        np.testing.assert_allclose(
+            got.transpose(0, 2, 1).reshape(B, J, F, T), want,
+            rtol=2e-4, atol=2e-5,
+        )
+
+    def test_time_major_seed_flattening_matches(self):
+        """precompute must flatten a [B,S,J*F] carry exactly like the
+        canonical [B,J,F,S] seed (the (j,f,s) weight-row order)."""
+        model, params, x, t, cond = _build()
+        precompute, _ = make_fast_model_fn(model, params, layout="btj")
+        seed_tm = jnp.asarray(
+            np.asarray(cond["seed"]).reshape(B, J * F, S).transpose(0, 2, 1)
+        )
+        pc_canon = precompute(cond)["_fast"]
+        pc_tm = precompute({**cond, "seed": seed_tm})["_fast"]
+        np.testing.assert_allclose(
+            np.asarray(pc_canon["stxt"]), np.asarray(pc_tm["stxt"]),
+            rtol=1e-6,
+        )
+
+    def test_time_major_ar_loop(self):
+        """AR loop with time_axis=1 carries the [B,S,J*F] seed and
+        produces finite [C,B,T,J*F] chunks."""
+        from gesturediffusion_tpu.diffusion import (
+            ModelMeanType,
+            create_diffusion,
+        )
+        from gesturediffusion_tpu.diffusion.sampling import (
+            autoregressive_sample_loop,
+        )
+
+        model, params, x, t, cond = _build()
+        diffusion = create_diffusion(
+            steps=4, model_mean_type=ModelMeanType.START_X
+        )
+        C = 2
+        rs = np.random.RandomState(1)
+        chunk_conds = {
+            "mfcc": jnp.asarray(rs.randn(C, B, A, 1, T), jnp.float32),
+            "scale": jnp.full((C, B), 2.5, jnp.float32),
+        }
+        precompute_cfg, guided = make_fast_cfg_fn(model, params, 0.1,
+                                                  layout="btj")
+        seed_tm = jnp.asarray(
+            np.asarray(cond["seed"]).reshape(B, J * F, S).transpose(0, 2, 1)
+        )
+        out = autoregressive_sample_loop(
+            diffusion, guided, (B, T, J * F), jax.random.PRNGKey(0),
+            chunk_conds, seed_tm, S, cond_precompute=precompute_cfg,
+            time_axis=1,
+        )
+        assert out.shape == (C, B, T, J * F)
+        assert np.all(np.isfinite(np.asarray(out)))
+
+    def test_jit_under_scan(self):
+        """fast_fn must be scan-compatible (static shapes, no host ops)."""
+        model, params, x, t, cond = _build()
+        precompute, fast_fn = make_fast_model_fn(model, params)
+        pc = precompute(cond)
+
+        @jax.jit
+        def run(x0):
+            def body(carry, i):
+                tt = jnp.full((B,), i, jnp.int32)
+                return fast_fn(carry, tt, pc), None
+
+            out, _ = jax.lax.scan(body, x0, jnp.arange(4))
+            return out
+
+        out = run(x)
+        assert np.all(np.isfinite(np.asarray(out)))

@@ -114,6 +114,43 @@ def main():
     ok &= check("fused_encoder_layer (compiled) vs XLA layer [64,197,512]",
                 got, want, atol=1e-2)
 
+    # 4) fused pre-encoder local block at the gesture shape
+    #    (rope1 + band attention + prepend + rope2).
+    #    f32: direct parity vs the XLA composition (MXU bf16-pass noise).
+    #    bf16: the kernel keeps rope tables + softmax in f32 where the
+    #    XLA bf16 path rounds them, so outputs differ at the tail —
+    #    assert instead that the kernel is NO LESS ACCURATE than the XLA
+    #    bf16 formulation against the f32 ground truth.
+    from tests.test_pallas_local_block import xla_reference
+    from gesturediffusion_tpu.ops.pallas_local_block import (
+        fused_local_block,
+    )
+
+    B, T, D, H = 82, 80, 256, 8
+    x32 = jnp.asarray(rs.randn(B, T, D) * 0.5, jnp.float32)
+    c32 = jnp.asarray(rs.randn(B, D) * 0.5, jnp.float32)
+    truth = jax.jit(
+        lambda a, c: xla_reference(a, c, H, 10, dtype=jnp.float32)
+    )(x32, c32)
+    got32 = fused_local_block(x32, c32, num_heads=H, window=10)
+    ok &= check("fused_local_block f32 (compiled) vs XLA block",
+                got32, truth, atol=3e-2)
+
+    xb, cb = x32.astype(jnp.bfloat16), c32.astype(jnp.bfloat16)
+    xla_bf16 = jax.jit(
+        lambda a, c: xla_reference(a, c, H, 10, dtype=jnp.bfloat16)
+    )(xb, cb).astype(jnp.float32)
+    ker_bf16 = fused_local_block(
+        xb, cb, num_heads=H, window=10
+    ).astype(jnp.float32)
+    err_xla = float(jnp.abs(xla_bf16 - truth).mean())
+    err_ker = float(jnp.abs(ker_bf16 - truth).mean())
+    bf16_ok = err_ker <= err_xla * 1.5 + 1e-4
+    print(f"{'OK ' if bf16_ok else 'FAIL'} fused_local_block bf16 "
+          f"accuracy vs f32 truth: kernel {err_ker:.2e} <= "
+          f"1.5x XLA-bf16 {err_xla:.2e}")
+    ok &= bf16_ok
+
     print("ALL OK" if ok else "FAILURES")
     return 0 if ok else 1
 
