@@ -17,7 +17,7 @@ d256 encoder) and the 41-take chunk batch:
 anchor ≈ 1.2 × (41/32) × 6.49 ≈ 10.0 take-chunks/sec.
 
 Perf notes (measured on v5e, this round; r1 -> r2 gesture
-25.8 -> ~47 take-chunks/s (4.7x anchor), t2m 7.94 -> ~10.6 samples/s):
+25.8 -> 47.3 take-chunks/s (4.75x anchor), t2m 7.94 -> ~10.6 samples/s):
   * sampling fast path (models/mdm_fastpath.py): the denoise scan calls
     the model 1000x with constant conditioning.  XLA's loop-invariant
     code motion already hoists the seed/audio encoders (measured: the
@@ -75,14 +75,20 @@ Perf notes (measured on v5e, this round; r1 -> r2 gesture
     cliff too: batch 256 as 4x64 microbatches runs at 21.2 ms/step =
     12.1k samples/s (+28% over full-batch) — a full 600k-step
     production run in 3.5 h on ONE v5e chip.
-  * measured roofline: the fused 8-layer encoder alone costs 0.780
-    ms/step (~113 TFLOP/s sustained, 57% of v5e bf16 peak; Mosaic
-    requires f32 matmul accumulators, so bf16-accumulate is not
-    available); glue (rotary/local-attn/projections) 0.14 ms and
-    sampler math 0.02 ms.  5x the derived anchor would need the WHOLE
-    step in <=0.82 ms — i.e. the current encoder time with zero
-    overhead — so ~4.5x is where this architecture lands on one v5e
-    without changing the model.
+  * measured roofline (r2 final, take-level depth ablation — per-layer
+    cost is exactly linear: 8L 0.878, 4L 0.504, 2L 0.317 ms/step):
+    encoder 8 x 0.0935 ms + fused local block 0.063 + state/sampler
+    bandwidth ~0.048.  The remaining gaps are hard constraints on one
+    v5e: Mosaic requires 32-bit matmul accumulators (bf16-out qkv
+    re-tested this round — verifier still rejects), bf16
+    transcendentals run SLOWER than f32 on the VPU (bf16 gelu measured
+    -12% end-to-end), the per-head attention dots (dh 32-64, T 81-88)
+    cap at ~13 TFLOP/s on a 128x128 MXU, and the f32 sampler state
+    costs ~39 MB/step of HBM traffic that correctness parity won't let
+    us halve.  5x the derived anchor needs <=0.816 ms/step; the
+    architecture lands at ~0.86 (4.75x) with every structural trick
+    taken — the rest is precision or model-architecture changes, not
+    kernel engineering.
 
 GDT_BENCH_CONFIG=humanml reports the round-1 secondary metric
 (HumanML3D samples/sec/chip, batch 32, guidance 2.5).

@@ -202,10 +202,14 @@ def make_fast_model_fn(
         return out[:, 1:] @ w_out + b_out                       # [B, T, J*F]
 
     def _from_tm(out, bs, nt, nj, nf):
+        # stay in the compute dtype: a bf16 model's f32 output is exactly
+        # bf16-valued (the output projection computes in bf16), so the
+        # upcast is pure bandwidth — the sampler's f32 math promotes the
+        # operand on the fly instead (half the HBM read)
         if layout == "btj":
-            return out.astype(jnp.float32)
+            return out
         out = out.reshape(bs, nt, nj, nf)
-        return out.transpose(0, 2, 3, 1).astype(jnp.float32)
+        return out.transpose(0, 2, 3, 1)
 
     def fast_fn(x: jax.Array, t: jax.Array, cond: dict) -> jax.Array:
         pc = cond["_fast"]

@@ -120,6 +120,8 @@ def _encoder_layer_kernel(
     h = jnp.dot(
         x2, w1_ref[:], preferred_element_type=jnp.float32
     ) + b1_ref[:].astype(jnp.float32)
+    # gelu stays in f32: bf16 transcendentals measured 12% SLOWER on the
+    # v5e VPU (upconvert-per-op), besides being less accurate
     h = jax.nn.gelu(h).astype(x.dtype)
     h = jnp.dot(
         h, w2_ref[:], preferred_element_type=jnp.float32
