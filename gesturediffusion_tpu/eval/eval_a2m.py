@@ -628,7 +628,7 @@ def main(argv=None):
             "benchmark (expected humanact12 or uestc)."
         )
     model, diffusion = create_model_and_diffusion(args, dataset)
-    params = load_checkpoint(args.model_path)["params"]
+    params = load_checkpoint(args.model_path, model=model)["params"]
 
     smpl_path = os.environ.get(
         "SMPL_MODEL_PATH", "body_models/smpl/SMPL_NEUTRAL.pkl"

@@ -534,7 +534,7 @@ def main(argv=None):
     text_encoder = get_text_encoder()
 
     model, diffusion = create_model_and_diffusion(args, dataset)
-    params = load_checkpoint(args.model_path)["params"]
+    params = load_checkpoint(args.model_path, model=model)["params"]
 
     def base_model_fn(x, t, c):
         return model.apply(params, x, t, c)

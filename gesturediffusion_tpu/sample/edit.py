@@ -131,7 +131,7 @@ def main(argv=None):
 
     log_lib.log("Creating model and diffusion...")
     model, diffusion = create_model_and_diffusion(args, dataset)
-    params = load_checkpoint(args.model_path)["params"]
+    params = load_checkpoint(args.model_path, model=model)["params"]
 
     def base_model_fn(x, t, c):
         return model.apply(params, x, t, c)

@@ -105,7 +105,7 @@ def main(argv=None):
 
     log_lib.log("Creating model and diffusion...")
     model, diffusion = create_model_and_diffusion(args, dataset)
-    ckpt = load_checkpoint(args.model_path)
+    ckpt = load_checkpoint(args.model_path, model=model)
     params = ckpt["params"]
 
     def base_model_fn(x, t, c):

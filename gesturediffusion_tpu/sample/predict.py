@@ -48,7 +48,7 @@ class Predictor:
             steps=1000, noise_schedule="cosine",
             model_mean_type=ModelMeanType.START_X,
         )
-        self.params = load_checkpoint(model_path)["params"]
+        self.params = load_checkpoint(model_path, model=self.model)["params"]
 
         root = dataset_root or "./dataset/HumanML3D"
         mean_p, std_p = (

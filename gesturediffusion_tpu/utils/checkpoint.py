@@ -10,11 +10,33 @@ import os
 from typing import Any, Optional
 
 
-def load_checkpoint(path: str, template: Optional[Any] = None) -> dict:
+TORCH_SUFFIXES = (".pt", ".pth", ".tar", ".pth.tar")
+
+
+def load_checkpoint(
+    path: str, template: Optional[Any] = None, model: Optional[Any] = None
+) -> dict:
     """Restore a checkpoint dict ({'params', 'ema_params', 'opt_state', ...}).
 
     `template` (optional) restores with exact dtypes/structure.
+
+    Reference torch checkpoints (``model*.pt`` files) are converted on
+    the fly via utils/convert_torch.py — pass the target ``model``
+    instance (the CLIs do) so the state dict can be mapped onto its
+    param tree.
     """
+    if os.path.isfile(path) and path.endswith(TORCH_SUFFIXES):
+        if model is None:
+            raise ValueError(
+                "loading a reference torch checkpoint requires the model "
+                "instance (load_checkpoint(path, model=model))"
+            )
+        from gesturediffusion_tpu.utils.convert_torch import (
+            load_torch_checkpoint,
+        )
+
+        return {"params": load_torch_checkpoint(path, model)}
+
     import orbax.checkpoint as ocp
 
     ckptr = ocp.PyTreeCheckpointer()
