@@ -427,9 +427,17 @@ def autoregressive_sample_loop(
     Returns [C, B, J, F, T] samples for every chunk ([C, B, T, J*F] when
     time_axis=1).
     """
+    if time_axis == 1 and len(shape) != 3:
+        # time_axis=1 is exclusively the 3D time-major [B, T, J*F]
+        # layout; on a canonical 4D shape it would silently slice the
+        # JOINT axis for the seed hand-off
+        raise ValueError(
+            "time_axis=1 requires the 3D time-major [B, T, J*F] shape; "
+            f"got shape {shape}"
+        )
     if time_axis not in (-1, len(shape) - 1, 1):
         raise ValueError(f"unsupported time_axis {time_axis}")
-    tm = time_axis == 1 and len(shape) != 2
+    tm = time_axis == 1 and len(shape) == 3
 
     def body(carry, cond_c):
         seed, k = carry

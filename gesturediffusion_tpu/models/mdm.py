@@ -41,6 +41,46 @@ from gesturediffusion_tpu.models.transformer import TransformerEncoder
 from gesturediffusion_tpu.ops.pallas_attention import local_attention_auto
 
 
+def pre_encoder_local_block(
+    xseq: jax.Array,
+    coa: jax.Array,
+    *,
+    num_heads: int,
+    window_size: int,
+    dropout_rate: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
+) -> jax.Array:
+    """The MDM-V2 pre-encoder block, XLA formulation: head split -> rope
+    -> causal windowed local attention -> merge -> prepend cond token ->
+    rope -> merge (reference: model/mdm.py:175-214).
+
+    THE single source of truth for these semantics — used by
+    `MDM.__call__`, the sampling fast path's fallback
+    (models/mdm_fastpath.py), and as the parity reference for the fused
+    kernel (ops/pallas_local_block.py, tests + tpu_parity_check).
+
+    xseq: [B, T, D]; coa: [B, D] -> [B, T+1, D].
+    """
+    bs, nt, d = xseq.shape
+    dh = d // num_heads
+    heads = xseq.reshape(bs, nt, num_heads, dh).transpose(0, 2, 1, 3)
+    freqs = rotary_freqs(nt, dh, xseq.dtype)
+    heads, _ = apply_rotary_pos_emb(heads, heads, freqs)
+    heads = local_attention_auto(
+        heads, heads, heads,
+        window_size=window_size, causal=True,
+        look_backward=1, look_forward=0,
+        dropout_rate=dropout_rate, dropout_rng=dropout_rng,
+    ).astype(xseq.dtype)
+    xseq = heads.transpose(0, 2, 1, 3).reshape(bs, nt, d)
+
+    xseq = jnp.concatenate([coa[:, None, :], xseq], axis=1)
+    heads = xseq.reshape(bs, nt + 1, num_heads, dh).transpose(0, 2, 1, 3)
+    freqs2 = rotary_freqs(nt + 1, dh, xseq.dtype)
+    heads, _ = apply_rotary_pos_emb(heads, heads, freqs2)
+    return heads.transpose(0, 2, 1, 3).reshape(bs, nt + 1, d)
+
+
 class SeedPoseEncoder(nn.Module):
     """Flattened seed poses -> latent (reference: model/mdm.py:382-392)."""
 
@@ -218,35 +258,16 @@ class MDM(nn.Module):
         xseq = nn.Dense(self.latent_dim, dtype=self.dtype,
                         name="project_to_lat")(embs)  # [B, T, D]
 
-        # ---- cross-local attention over cl_head heads ----------------- #
-        dh = self.latent_dim // self.cl_head
-        heads = xseq.reshape(bs, nframes, self.cl_head, dh).transpose(0, 2, 1, 3)
-        freqs = rotary_freqs(nframes, dh, x.dtype)
-        heads, _ = apply_rotary_pos_emb(heads, heads, freqs)
+        # ---- cross-local attention + cond token + rope (shared impl) -- #
         drop_rng = (
             self.make_rng("dropout") if train and self.dropout > 0 else None
         )
-        heads = local_attention_auto(
-            heads,
-            heads,
-            heads,
-            window_size=self.window_size,
-            causal=True,
-            look_backward=1,
-            look_forward=0,
+        xseq = pre_encoder_local_block(
+            xseq, coa,
+            num_heads=self.cl_head, window_size=self.window_size,
             dropout_rate=self.dropout if train else 0.0,
             dropout_rng=drop_rng,
         )
-        xseq = heads.transpose(0, 2, 1, 3).reshape(bs, nframes, self.latent_dim)
-
-        # ---- prepend cond token, second rotary pass ------------------- #
-        xseq = jnp.concatenate([coa[:, None, :], xseq], axis=1)  # [B, T+1, D]
-        heads = xseq.reshape(bs, nframes + 1, self.cl_head, dh).transpose(
-            0, 2, 1, 3
-        )
-        freqs2 = rotary_freqs(nframes + 1, dh, x.dtype)
-        heads, _ = apply_rotary_pos_emb(heads, heads, freqs2)
-        xseq = heads.transpose(0, 2, 1, 3).reshape(bs, nframes + 1, self.latent_dim)
 
         # ---- global self-attention ------------------------------------ #
         out = TransformerEncoder(

@@ -32,14 +32,9 @@ from typing import Any, Callable, Optional
 import jax
 import jax.numpy as jnp
 
-from gesturediffusion_tpu.models.embeddings import (
-    TimestepEmbedder,
-    apply_rotary_pos_emb,
-    rotary_freqs,
-)
-from gesturediffusion_tpu.models.mdm import MDM
+from gesturediffusion_tpu.models.embeddings import TimestepEmbedder
+from gesturediffusion_tpu.models.mdm import MDM, pre_encoder_local_block
 from gesturediffusion_tpu.models.transformer import TransformerEncoder
-from gesturediffusion_tpu.ops.pallas_attention import local_attention_auto
 
 
 def make_fast_model_fn(
@@ -151,25 +146,6 @@ def make_fast_model_fn(
     cl_head, window = model.cl_head, model.window_size
     dh = D // cl_head
 
-    def _local_block_xla(xseq, coa, bs, nt):
-        """rope1 + band attention + prepend + rope2, XLA formulation
-        (models/mdm.py:221-249)."""
-        heads = xseq.reshape(bs, nt, cl_head, dh).transpose(0, 2, 1, 3)
-        freqs = rotary_freqs(nt, dh, xseq.dtype)
-        heads, _ = apply_rotary_pos_emb(heads, heads, freqs)
-        heads = local_attention_auto(
-            heads, heads, heads,
-            window_size=window, causal=True,
-            look_backward=1, look_forward=0,
-        )
-        xseq = heads.transpose(0, 2, 1, 3).reshape(bs, nt, D)
-
-        xseq = jnp.concatenate([coa[:, None, :], xseq], axis=1)
-        heads = xseq.reshape(bs, nt + 1, cl_head, dh).transpose(0, 2, 1, 3)
-        freqs2 = rotary_freqs(nt + 1, dh, xseq.dtype)
-        heads, _ = apply_rotary_pos_emb(heads, heads, freqs2)
-        return heads.transpose(0, 2, 1, 3).reshape(bs, nt + 1, D)
-
     def _to_pose(x):
         """Sampler state -> [B, T, J*F] compute-dtype + shape info."""
         if layout == "btj":
@@ -196,7 +172,9 @@ def make_fast_model_fn(
                 interpret=jax.default_backend() != "tpu",
             )
         else:
-            xseq = _local_block_xla(xseq, coa, bs, nt)
+            xseq = pre_encoder_local_block(
+                xseq, coa, num_heads=cl_head, window_size=window
+            )
 
         out = enc.apply(enc_params, xseq, deterministic=True)
         return out[:, 1:] @ w_out + b_out                       # [B, T, J*F]

@@ -43,12 +43,25 @@ _AUTO_CANDIDATES = (32, 22, 16, 11, 8, 6, 4, 2, 1)
 
 def _auto_block_b(b: int, t_padded: int, ff: int) -> int:
     """Largest batch-block whose f32 FF intermediate fits the VMEM budget.
-    $GDT_ENC_BLOCK overrides the choice (perf-tuning knob)."""
+
+    $GDT_ENC_BLOCK overrides the choice (perf-tuning knob).  Caveats: an
+    oversized value can VMEM-OOM at compile time (the auto budget is
+    bypassed on purpose — that is what the knob is for), and because the
+    resolved block is part of the jit cache key, the env var is read on
+    the FIRST trace per shape only."""
     import os
 
     env = os.environ.get("GDT_ENC_BLOCK")
     if env:
-        return min(int(env), b)
+        try:
+            bb = int(env)
+        except ValueError as e:
+            raise ValueError(
+                f"GDT_ENC_BLOCK={env!r} is not an integer"
+            ) from e
+        if bb < 1:
+            raise ValueError(f"GDT_ENC_BLOCK must be >= 1, got {bb}")
+        return min(bb, b)
     for bb in _AUTO_CANDIDATES:
         if bb * t_padded * ff * 4 <= _AUTO_FF_BYTES:
             # no point padding b up beyond one grid step

@@ -31,6 +31,12 @@ def load_checkpoint(
                 "loading a reference torch checkpoint requires the model "
                 "instance (load_checkpoint(path, model=model))"
             )
+        if template is not None:
+            raise ValueError(
+                "template restore is not supported for torch checkpoints "
+                "— the converted dict contains ONLY 'params' (no "
+                "ema_params/opt_state; reference .pt files carry none)"
+            )
         from gesturediffusion_tpu.utils.convert_torch import (
             load_torch_checkpoint,
         )

@@ -12,6 +12,7 @@ The reference's constant term hardcodes the 69-dim pose space
 
 from __future__ import annotations
 
+import functools
 import os
 import pickle
 from typing import Optional
@@ -69,9 +70,19 @@ def load_gmm_prior(
     path: str, epsilon: float = 1e-16
 ) -> Optional[MaxMixturePrior]:
     """Load gmm_08.pkl (dict or sklearn-GMM pickle) into a MaxMixturePrior;
-    None when the asset is absent (reference: prior.py:118-137)."""
+    None when the asset is absent (reference: prior.py:118-137).
+
+    Loads are cached per (path, epsilon) — joints2smpl auto-loads the
+    prior on every fit, and a rendering loop fits once per clip."""
     if not path or not os.path.exists(path):
         return None
+    return _load_gmm_prior_cached(path, epsilon)
+
+
+@functools.lru_cache(maxsize=8)
+def _load_gmm_prior_cached(
+    path: str, epsilon: float
+) -> MaxMixturePrior:
     with open(path, "rb") as f:
         gmm = pickle.load(f, encoding="latin1")
     if isinstance(gmm, dict):

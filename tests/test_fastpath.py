@@ -217,6 +217,49 @@ class TestFastPathParity:
         assert out.shape == (C, B, T, J * F)
         assert np.all(np.isfinite(np.asarray(out)))
 
+    def test_time_axis_1_rejects_4d_shape(self):
+        """time_axis=1 on a canonical 4D shape would slice the JOINT axis
+        for the seed hand-off — must be rejected loudly."""
+        from gesturediffusion_tpu.diffusion import (
+            ModelMeanType,
+            create_diffusion,
+        )
+        from gesturediffusion_tpu.diffusion.sampling import (
+            autoregressive_sample_loop,
+        )
+
+        diffusion = create_diffusion(
+            steps=2, model_mean_type=ModelMeanType.START_X
+        )
+        with pytest.raises(ValueError, match="time-major"):
+            autoregressive_sample_loop(
+                diffusion, lambda x, t, c: x, (B, J, F, T),
+                jax.random.PRNGKey(0), {}, jnp.zeros((B, J, F, S)), S,
+                time_axis=1,
+            )
+
+    def test_enc_block_env_validated(self, monkeypatch):
+        from gesturediffusion_tpu.ops.pallas_encoder import _auto_block_b
+
+        monkeypatch.setenv("GDT_ENC_BLOCK", "nope")
+        with pytest.raises(ValueError, match="not an integer"):
+            _auto_block_b(82, 88, 1024)
+        monkeypatch.setenv("GDT_ENC_BLOCK", "0")
+        with pytest.raises(ValueError, match=">= 1"):
+            _auto_block_b(82, 88, 1024)
+        monkeypatch.setenv("GDT_ENC_BLOCK", "16")
+        assert _auto_block_b(82, 88, 1024) == 16
+
+    def test_torch_checkpoint_rejects_template(self, tmp_path):
+        from gesturediffusion_tpu.utils.checkpoint import load_checkpoint
+
+        p = tmp_path / "model000000001.pt"
+        p.write_bytes(b"")
+        with pytest.raises(ValueError, match="requires the model"):
+            load_checkpoint(str(p))
+        with pytest.raises(ValueError, match="ONLY 'params'"):
+            load_checkpoint(str(p), template={"x": 1}, model=object())
+
     def test_jit_under_scan(self):
         """fast_fn must be scan-compatible (static shapes, no host ops)."""
         model, params, x, t, cond = _build()

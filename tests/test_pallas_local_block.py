@@ -6,30 +6,17 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from gesturediffusion_tpu.models.embeddings import (
-    apply_rotary_pos_emb,
-    rotary_freqs,
-)
-from gesturediffusion_tpu.ops.local_attention import local_attention_dense
+from gesturediffusion_tpu.models.mdm import pre_encoder_local_block
 from gesturediffusion_tpu.ops.pallas_local_block import fused_local_block
 
 
 def xla_reference(xseq, coa, num_heads, window, dtype=jnp.float32):
-    b, t, d = xseq.shape
-    dh = d // num_heads
-    heads = xseq.reshape(b, t, num_heads, dh).transpose(0, 2, 1, 3)
-    freqs = rotary_freqs(t, dh, dtype)
-    heads, _ = apply_rotary_pos_emb(heads, heads, freqs)
-    heads = local_attention_dense(
-        heads, heads, heads, window_size=window, causal=True,
-        look_backward=1, look_forward=0,
-    ).astype(dtype)
-    x = heads.transpose(0, 2, 1, 3).reshape(b, t, d)
-    x = jnp.concatenate([coa[:, None, :], x], axis=1)
-    heads = x.reshape(b, t + 1, num_heads, dh).transpose(0, 2, 1, 3)
-    freqs2 = rotary_freqs(t + 1, dh, dtype)
-    heads, _ = apply_rotary_pos_emb(heads, heads, freqs2)
-    return heads.transpose(0, 2, 1, 3).reshape(b, t + 1, d)
+    """Parity reference = the production XLA implementation itself
+    (models/mdm.py::pre_encoder_local_block — one source of truth)."""
+    return pre_encoder_local_block(
+        xseq.astype(dtype), coa.astype(dtype),
+        num_heads=num_heads, window_size=window,
+    )
 
 
 class TestFusedLocalBlock:
