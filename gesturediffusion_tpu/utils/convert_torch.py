@@ -180,6 +180,118 @@ def convert_motion_mdm_state_dict(sd: dict, model: Any) -> dict:
     return {"params": params}
 
 
+def _export_linear(out: dict, name: str, p: dict) -> None:
+    out[f"{name}.weight"] = np.asarray(p["kernel"], np.float32).T
+    out[f"{name}.bias"] = np.asarray(p["bias"], np.float32)
+
+
+def _export_layernorm(out: dict, name: str, p: dict) -> None:
+    out[f"{name}.weight"] = np.asarray(p["scale"], np.float32)
+    out[f"{name}.bias"] = np.asarray(p["bias"], np.float32)
+
+
+def _export_encoder_layers(out: dict, enc: dict, num_layers: int) -> None:
+    for i in range(num_layers):
+        lp = enc[f"layer_{i}"]
+        p = f"seqTransEncoder.layers.{i}"
+        out[f"{p}.self_attn.in_proj_weight"] = np.asarray(
+            lp["self_attn"]["in_proj"]["kernel"], np.float32
+        ).T
+        out[f"{p}.self_attn.in_proj_bias"] = np.asarray(
+            lp["self_attn"]["in_proj"]["bias"], np.float32
+        )
+        _export_linear(out, f"{p}.self_attn.out_proj",
+                       lp["self_attn"]["out_proj"])
+        _export_linear(out, f"{p}.linear1", lp["linear1"])
+        _export_linear(out, f"{p}.linear2", lp["linear2"])
+        _export_layernorm(out, f"{p}.norm1", lp["norm1"])
+        _export_layernorm(out, f"{p}.norm2", lp["norm2"])
+
+
+def _pe_buffer(d_model: int, max_len: int = 5000) -> np.ndarray:
+    """The reference PositionalEncoding.pe buffer [max_len, 1, d]
+    (reference: model/mdm.py:277-289) — same table our
+    models/embeddings.py::sinusoidal_table computes."""
+    position = np.arange(max_len, dtype=np.float64)[:, None]
+    div_term = np.exp(
+        np.arange(0, d_model, 2, dtype=np.float64)
+        * (-np.log(10000.0) / d_model)
+    )
+    pe = np.zeros((max_len, d_model), np.float64)
+    pe[:, 0::2] = np.sin(position * div_term)
+    pe[:, 1::2] = np.cos(position * div_term)
+    return pe[:, None, :].astype(np.float32)
+
+
+def export_mdm_state_dict(variables: dict, model: Any) -> dict:
+    """Flax MDM variables -> reference torch state dict (numpy values).
+
+    Includes the buffers the reference's `load_model_wo_clip` requires
+    to be present (`sequence_pos_encoder.pe`, `rel_pos.inv_freq`, BN
+    running stats) so the export loads with its standard path: only
+    `clip_model.*` keys may be missing."""
+    P = variables["params"]
+    out: dict = {}
+    _export_linear(out, "input_process.poseEmbedding", P["input_process"])
+    _export_linear(out, "project_to_lat", P["project_to_lat"])
+    _export_linear(out, "output_process.poseFinal", P["output_process"])
+    _export_linear(out, "embed_timestep.time_embed.0",
+                   P["embed_timestep"]["time_embed_0"])
+    _export_linear(out, "embed_timestep.time_embed.2",
+                   P["embed_timestep"]["time_embed_1"])
+    _export_linear(out, "seed_pose_encoder.seed_embed",
+                   P["seed_pose_encoder"]["seed_embed"])
+    if model.use_text:
+        _export_linear(out, "embed_text", P["embed_text"])
+    _export_encoder_layers(out, P["seqTransEncoder"], model.num_layers)
+
+    pe = _pe_buffer(model.latent_dim)
+    out["sequence_pos_encoder.pe"] = pe
+    out["embed_timestep.sequence_pos_encoder.pe"] = pe
+    dh = model.latent_dim // model.cl_head
+    out["rel_pos.inv_freq"] = (
+        1.0 / (10000 ** (np.arange(0, dh, 2, dtype=np.float64) / dh))
+    ).astype(np.float32)
+
+    if model.use_wav_enc:
+        wav_p = P["wav_encoder"]
+        wav_s = variables.get("batch_stats", {}).get("wav_encoder", {})
+        for i, ci in enumerate((0, 3, 6, 9)):
+            out[f"wav_encoder.feat_extractor.{ci}.weight"] = np.asarray(
+                wav_p[f"conv_{i}"]["kernel"], np.float32
+            ).transpose(2, 1, 0)
+            out[f"wav_encoder.feat_extractor.{ci}.bias"] = np.asarray(
+                wav_p[f"conv_{i}"]["bias"], np.float32
+            )
+        for i, bi in enumerate((1, 4, 7)):
+            out[f"wav_encoder.feat_extractor.{bi}.weight"] = np.asarray(
+                wav_p[f"bn_{i}"]["scale"], np.float32
+            )
+            out[f"wav_encoder.feat_extractor.{bi}.bias"] = np.asarray(
+                wav_p[f"bn_{i}"]["bias"], np.float32
+            )
+            out[f"wav_encoder.feat_extractor.{bi}.running_mean"] = (
+                np.asarray(wav_s[f"bn_{i}"]["mean"], np.float32)
+            )
+            out[f"wav_encoder.feat_extractor.{bi}.running_var"] = (
+                np.asarray(wav_s[f"bn_{i}"]["var"], np.float32)
+            )
+            out[f"wav_encoder.feat_extractor.{bi}.num_batches_tracked"] = (
+                np.asarray(0, np.int64)
+            )
+    return out
+
+
+def save_torch_checkpoint(path: str, variables: dict, model: Any) -> str:
+    """Export Flax variables as a reference-loadable torch .pt file."""
+    import torch
+
+    sd = export_mdm_state_dict(variables, model)
+    torch.save({k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()},
+               path)
+    return path
+
+
 def load_torch_checkpoint(path: str, model: Any) -> dict:
     """torch.load a reference checkpoint file and convert it for `model`
     (an MDM or MotionMDM instance)."""

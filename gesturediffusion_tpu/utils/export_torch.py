@@ -1,0 +1,61 @@
+"""Export a Flax checkpoint as a reference-loadable torch .pt file.
+
+    python -m gesturediffusion_tpu.utils.export_torch \
+        --model_path save/model000400000 --out model000400000.pt [--ema]
+
+The output loads in the reference repo through its own
+`load_model_wo_clip` contract (strict=False with only clip_model.*
+missing) — see utils/convert_torch.py.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--model_path", required=True,
+                        help="Orbax checkpoint dir (model{step:09d})")
+    parser.add_argument("--out", required=True, help="output .pt path")
+    parser.add_argument("--ema", action="store_true",
+                        help="export the EMA weights instead")
+    args = parser.parse_args(argv)
+
+    args_json = os.path.join(os.path.dirname(args.model_path), "args.json")
+    if not os.path.isfile(args_json):
+        raise FileNotFoundError(
+            f"{args_json} not found — the training args are needed to "
+            "rebuild the model architecture"
+        )
+    with open(args_json) as f:
+        train_args = argparse.Namespace(**json.load(f))
+
+    from gesturediffusion_tpu.models.mdm import MDM
+    from gesturediffusion_tpu.utils.checkpoint import load_checkpoint
+    from gesturediffusion_tpu.utils.convert_torch import (
+        save_torch_checkpoint,
+    )
+    from gesturediffusion_tpu.utils.model_factory import create_model
+
+    model = create_model(train_args)
+    if not isinstance(model, MDM):
+        raise NotImplementedError(
+            "torch export currently covers the gesture MDM family "
+            f"(got {type(model).__name__})"
+        )
+    ckpt = load_checkpoint(args.model_path)
+    variables = (
+        ckpt["ema_params"] if args.ema and ckpt.get("ema_params")
+        else ckpt["params"]
+    )
+    save_torch_checkpoint(args.out, variables, model)
+    print(f"wrote {args.out}")
+    return args.out
+
+
+if __name__ == "__main__":
+    sys.exit(0 if main() else 1)

@@ -146,6 +146,120 @@ class TestConvertMDM:
             convert_mdm_state_dict(sd, ours)
 
 
+@pytest.mark.skipif(
+    not os.path.exists(os.path.join(REF, "model", "mdm.py")),
+    reason="reference not mounted",
+)
+class TestExportMDM:
+    def test_export_loads_and_matches(self, tmp_path):
+        """Flax -> torch export must load through the reference's own
+        contract (load_model_wo_clip: strict=False, only clip_model.*
+        missing, zero unexpected) and reproduce our forward."""
+        import torch
+
+        from gesturediffusion_tpu.utils.convert_torch import (
+            save_torch_checkpoint,
+        )
+
+        ref_mdm = _load_reference_mdm_module()
+        ours = MDM(
+            njoints=J, latent_dim=D, text_dim=8, ff_size=64, num_layers=2,
+            num_heads=4, seed_poses=S, cond_mask_prob=0.1, mfcc_dim=26,
+            use_text=False, window_size=10, cl_head=8,
+        )
+        rs = np.random.RandomState(5)
+        x = rs.randn(B, J, 1, T).astype(np.float32)
+        mfcc = rs.randn(B, 26, 1, T).astype(np.float32)
+        seed = rs.randn(B, J, 1, S).astype(np.float32)
+        t = np.asarray([2, 9])
+        variables = ours.init(
+            jax.random.PRNGKey(1), jnp.asarray(x),
+            jnp.asarray(t, jnp.int32),
+            {"mfcc": jnp.asarray(mfcc), "seed": jnp.asarray(seed)},
+        )
+        path = str(tmp_path / "export000000042.pt")
+        save_torch_checkpoint(path, variables, ours)
+
+        ref = ref_mdm.MDM(
+            njoints=J, nfeats=1, pose_rep="genea_vec", data_rep="genea_vec",
+            latent_dim=D, text_dim=8, ff_size=64, num_layers=2, num_heads=4,
+            dropout=0.1, use_text=False, cond_mask_prob=0.1, seed_poses=S,
+            mfcc_input=True,
+        )
+        sd = torch.load(path, map_location="cpu", weights_only=True)
+        # the reference's load contract (utils/model_util.py:6-9)
+        missing, unexpected = ref.load_state_dict(sd, strict=False)
+        assert len(unexpected) == 0, unexpected
+        assert all(k.startswith("clip_model.") for k in missing), missing
+        ref.eval()
+
+        with torch.no_grad():
+            want = ref(
+                torch.from_numpy(x), torch.from_numpy(t),
+                y={"mfcc": torch.from_numpy(mfcc),
+                   "seed": torch.from_numpy(seed)},
+            ).numpy()
+        got = np.asarray(ours.apply(
+            variables, jnp.asarray(x), jnp.asarray(t, jnp.int32),
+            {"mfcc": jnp.asarray(mfcc), "seed": jnp.asarray(seed)},
+        ))
+        # flax inits give larger activations than the torch inits of the
+        # import-direction test; tolerance covers f32 accumulation-order
+        # noise (measured max 6.4e-4 on outputs of magnitude ~3)
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=2e-3)
+
+
+class TestExportCLI:
+    def test_orbax_to_pt_roundtrip(self, tmp_path):
+        """export_torch CLI: Orbax dir + args.json -> .pt; converting the
+        .pt back must reproduce the original params exactly."""
+        import orbax.checkpoint as ocp
+
+        from gesturediffusion_tpu.utils import export_torch
+        from gesturediffusion_tpu.utils.convert_torch import (
+            convert_mdm_state_dict,
+        )
+        from gesturediffusion_tpu.utils.model_factory import create_model
+
+        import argparse
+        import json
+
+        train_args = {
+            "dataset": "synthetic", "layers": 2, "latent_dim": D,
+            "cond_mask_prob": 0.1, "seed_poses": S, "unconstrained": False,
+            "use_text": False, "use_audio": False, "mfcc_input": True,
+            "use_wav_enc": False,
+        }
+        model = create_model(argparse.Namespace(**train_args))
+        rs = np.random.RandomState(0)
+        nj = model.njoints
+        variables = model.init(
+            jax.random.PRNGKey(0),
+            jnp.asarray(rs.randn(1, nj, 1, T), jnp.float32),
+            jnp.zeros((1,), jnp.int32),
+            {"mfcc": jnp.asarray(rs.randn(1, 26, 1, T), jnp.float32),
+             "seed": jnp.asarray(rs.randn(1, nj, 1, S), jnp.float32)},
+        )
+        ckpt_dir = tmp_path / "model000000007"
+        ocp.PyTreeCheckpointer().save(
+            str(ckpt_dir), {"params": variables}
+        )
+        (tmp_path / "args.json").write_text(json.dumps(train_args))
+
+        out = str(tmp_path / "export.pt")
+        export_torch.main(["--model_path", str(ckpt_dir), "--out", out])
+
+        import torch
+
+        sd = torch.load(out, map_location="cpu", weights_only=True)
+        rt = convert_mdm_state_dict(sd, model)
+        diffs = jax.tree_util.tree_map(
+            lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+            variables["params"], rt["params"],
+        )
+        assert max(jax.tree_util.tree_leaves(diffs)) < 1e-6
+
+
 class TestConvertMotionMDM:
     """Upstream-MDM layout (text/action) — structural conversion checks
     (the upstream torch source is not vendored, so parity is covered by
