@@ -403,6 +403,42 @@ class TrainLoop:
         self.host_step = step
         log_lib.log(f"resumed from {path} at step {step}")
 
+    def load_torch(self, path: str, model) -> None:
+        """Fine-tune from a reference torch checkpoint (model*.pt): the
+        converted weights replace params (and EMA restarts from them);
+        optimizer + sampler state start FRESH (reference .pt files carry
+        neither).  The step resumes from the filename, preserving the
+        reference's `model{N:09d}` contract for lr annealing."""
+        from gesturediffusion_tpu.utils.convert_torch import (
+            load_torch_checkpoint,
+        )
+
+        variables = load_torch_checkpoint(path, model)
+        ms_keys = set(self.state.model_state)
+        params = {k: v for k, v in variables.items() if k not in ms_keys}
+        model_state = {k: v for k, v in variables.items() if k in ms_keys}
+        step = parse_resume_step_from_filename(path)
+        ema = (
+            jax.tree_util.tree_map(jnp.copy, params)
+            if self.config.ema_rate > 0
+            else {}
+        )
+        tx = make_optimizer(self.config)
+        self.state = TrainState(
+            step=jnp.asarray(step, jnp.int32),
+            params=params,
+            opt_state=tx.init(params),
+            ema_params=ema,
+            sampler=self.state.sampler,
+            model_state=model_state or self.state.model_state,
+        )
+        self.resume_step = step
+        self.host_step = step
+        log_lib.log(
+            f"fine-tuning from reference torch checkpoint {path} "
+            f"at step {step} (fresh optimizer state)"
+        )
+
     # ------------------------------------------------------------------ #
     def run_loop(self) -> None:
         cfg = self.config

@@ -238,7 +238,13 @@ def main(argv=None):
         init_model_state=model_state,
     )
     if args.resume_checkpoint:
-        loop.load(args.resume_checkpoint)
+        from gesturediffusion_tpu.utils.checkpoint import TORCH_SUFFIXES
+
+        if args.resume_checkpoint.endswith(TORCH_SUFFIXES):
+            # fine-tune from a reference torch checkpoint
+            loop.load_torch(args.resume_checkpoint, model)
+        else:
+            loop.load(args.resume_checkpoint)
     log_lib.log("training...")
     loop.run_loop()
     train_platform.close()

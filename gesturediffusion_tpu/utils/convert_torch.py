@@ -287,8 +287,12 @@ def save_torch_checkpoint(path: str, variables: dict, model: Any) -> str:
     import torch
 
     sd = export_mdm_state_dict(variables, model)
-    torch.save({k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()},
-               path)
+    # .copy(): jax buffers are non-writable; torch warns (and writing
+    # through the tensor would be UB)
+    torch.save(
+        {k: torch.from_numpy(np.asarray(v).copy()) for k, v in sd.items()},
+        path,
+    )
     return path
 
 

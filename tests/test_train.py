@@ -288,6 +288,39 @@ class TestTrainStep:
         for a, b in zip(p1, p2):
             np.testing.assert_allclose(a, b)
 
+    def test_finetune_from_torch_checkpoint(self, tmp_path):
+        """--resume_checkpoint model*.pt: converted weights load, EMA
+        restarts from them, optimizer is fresh, step comes from the
+        filename, and training continues."""
+        import jax.tree_util as jtu
+
+        from gesturediffusion_tpu.utils.convert_torch import (
+            save_torch_checkpoint,
+        )
+
+        loop = tiny_setup(tmp_path, num_steps=126, ema_rate=0.5)
+        model = MDM(njoints=J, latent_dim=32, num_layers=1, ff_size=64,
+                    seed_poses=S, cl_head=4, window_size=10,
+                    cond_mask_prob=0.1)
+        before = jtu.tree_map(np.asarray, loop.state.params)
+        pt = str(tmp_path / "model000000123.pt")
+        save_torch_checkpoint(pt, loop.state.params, model)
+
+        loop.load_torch(pt, model)
+        assert loop.resume_step == 123
+        after = jtu.tree_map(np.asarray, loop.state.params)
+        diffs = jtu.tree_map(
+            lambda a, b: float(np.abs(a - b).max()), before, after
+        )
+        assert max(jtu.tree_leaves(diffs)) < 1e-6
+        # EMA restarted from the loaded weights
+        ediffs = jtu.tree_map(
+            lambda a, b: float(np.abs(np.asarray(a) - b).max()),
+            loop.state.ema_params, after,
+        )
+        assert max(jtu.tree_leaves(ediffs)) < 1e-6
+        loop.run_loop()  # 3 steps (126 - 123) must run clean
+
     def test_parse_resume_step(self):
         assert parse_resume_step_from_filename("/x/model000012345") == 12345
         assert parse_resume_step_from_filename("model000000050/") == 50
