@@ -30,6 +30,11 @@ Perf notes (measured on v5e, this round; r1 -> r2 gesture
     16-piece lane-slice concat (-15% kernel time); and (b) the CFG
     combine running in bf16 before one f32 cast.  Take-level step cost:
     encoder 8 x 0.0935 ms + everything else 0.13 -> 0.878 ms/step.
+  * band-chunked local-attention softmax (40-row query chunks against
+    8-aligned 56-key slices, -30% score elements): measured a WASH at
+    take level (47.06 vs 47.28 chunks/s) — the smaller per-chunk dots
+    lose as much MXU efficiency as the VPU saves; the dense [T,T]
+    kernel stays.
   * time-major [B,T,J] sampling layout (layout='btj'): measured a WASH
     at take level — XLA fuses the per-step [B,J,T]<->[B,T,J] transposes
     into the adjacent matmuls (identical compiled programs; kept as an
