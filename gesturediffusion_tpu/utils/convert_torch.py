@@ -153,6 +153,25 @@ def convert_mdm_state_dict(sd: dict, model: Any) -> dict:
     return variables
 
 
+def convert_mdm_old_state_dict(sd: dict, model: Any) -> dict:
+    """Reference MDM V1 state dict -> Flax variables for
+    `models/mdm_old.py::MDMOld` (reference layout: model/mdm_old.py:6-69:
+    seed encoder + mfcc-concat input + token-0 conditioning; no
+    project_to_lat / local attention / text)."""
+    sd = dict(sd)
+    params = {
+        "input_process": _linear(sd, "input_process.poseEmbedding"),
+        "output_process": _linear(sd, "output_process.poseFinal"),
+        "embed_timestep": _timestep_embedder(sd),
+        "seed_pose_encoder": {
+            "seed_embed": _linear(sd, "seed_pose_encoder.seed_embed"),
+        },
+        "seqTransEncoder": _encoder_layers(sd, model.num_layers),
+    }
+    _assert_consumed(sd, "MDMOld")
+    return {"params": params}
+
+
 def convert_motion_mdm_state_dict(sd: dict, model: Any) -> dict:
     """Upstream-MDM (t2m/a2m/unconstrained) state dict -> Flax variables
     for `models/mdm_t2m.py::MotionMDM`.
@@ -302,6 +321,7 @@ def load_torch_checkpoint(path: str, model: Any) -> dict:
     import torch
 
     from gesturediffusion_tpu.models.mdm import MDM
+    from gesturediffusion_tpu.models.mdm_old import MDMOld
 
     sd = torch.load(path, map_location="cpu", weights_only=True)
     if isinstance(sd, dict) and "model" in sd and isinstance(
@@ -310,4 +330,6 @@ def load_torch_checkpoint(path: str, model: Any) -> dict:
         sd = sd["model"]
     if isinstance(model, MDM):
         return convert_mdm_state_dict(sd, model)
+    if isinstance(model, MDMOld):
+        return convert_mdm_old_state_dict(sd, model)
     return convert_motion_mdm_state_dict(sd, model)

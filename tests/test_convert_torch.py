@@ -147,6 +147,63 @@ class TestConvertMDM:
 
 
 @pytest.mark.skipif(
+    not os.path.exists(os.path.join(REF, "model", "mdm_old.py")),
+    reason="reference not mounted",
+)
+class TestConvertMDMOld:
+    def test_forward_parity(self):
+        import importlib.util as ilu
+
+        import torch
+
+        from gesturediffusion_tpu.models.mdm_old import MDMOld
+        from gesturediffusion_tpu.utils.convert_torch import (
+            convert_mdm_old_state_dict,
+        )
+
+        _load_reference_mdm_module()  # installs the model pkg + stubs
+        if "model.mdm_old" not in sys.modules:
+            spec = ilu.spec_from_file_location(
+                "model.mdm_old", os.path.join(REF, "model", "mdm_old.py")
+            )
+            mod = ilu.module_from_spec(spec)
+            sys.modules["model.mdm_old"] = mod
+            spec.loader.exec_module(mod)
+        ref_mod = sys.modules["model.mdm_old"]
+
+        torch.manual_seed(2)
+        ref = ref_mod.MDM_Old(
+            njoints=J, nfeats=1, translation=True, pose_rep="genea_vec",
+            glob=True, glob_rot=True, latent_dim=D, ff_size=64,
+            num_layers=2, num_heads=4, dropout=0.1, data_rep="genea_vec",
+            cond_mask_prob=0.1, seed_poses=S,
+        )
+        ref.eval()
+        ours = MDMOld(
+            njoints=J, latent_dim=D, ff_size=64, num_layers=2, num_heads=4,
+            cond_mask_prob=0.1, seed_poses=S, mfcc_dim=26,
+        )
+        variables = convert_mdm_old_state_dict(ref.state_dict(), ours)
+
+        rs = np.random.RandomState(3)
+        x = rs.randn(B, J, 1, T).astype(np.float32)
+        mfcc = rs.randn(B, 26, 1, T).astype(np.float32)
+        seed = rs.randn(B, J, 1, S).astype(np.float32)
+        t = np.asarray([1, 7])
+        with torch.no_grad():
+            want = ref(
+                torch.from_numpy(x), torch.from_numpy(t),
+                y={"mfcc": torch.from_numpy(mfcc),
+                   "seed": torch.from_numpy(seed)},
+            ).numpy()
+        got = np.asarray(ours.apply(
+            variables, jnp.asarray(x), jnp.asarray(t, jnp.int32),
+            {"mfcc": jnp.asarray(mfcc), "seed": jnp.asarray(seed)},
+        ))
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.skipif(
     not os.path.exists(os.path.join(REF, "model", "mdm.py")),
     reason="reference not mounted",
 )
