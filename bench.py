@@ -68,11 +68,14 @@ Perf notes (measured on v5e, this round; r1 -> r2 gesture
   * batch>=164 throughput cliff (round-1 open question): localized to
     the global encoder — per-layer attention scores ([2B,4,81,81] f32)
     grow past VMEM-friendly fusion and get materialized to HBM (2.0x
-    time at B 164->328, 3.26x at 328->656 in the XLA path; the fused
-    kernel degrades even harder there — its per-(block,head) matmuls
-    stay small while the block count grows).  Practical mitigation:
-    keep the per-chip chunk batch at <= 164 and scale throughput over
-    the mesh's data axis instead.
+    time at B 164->328, 3.26x at 328->656 in the XLA path).
+    RESOLVED in r2: the fused fast path (per-layer Pallas encoder +
+    fused local block, both VMEM-blocked) has no such materialization —
+    measured per-chip throughput HOLDS at CFG batch 164 (47.5 chunks/s)
+    and IMPROVES at 328 (52.0 chunks/s, the per-chip serving peak at 4
+    take-sets per program).  The headline stays at the reference's
+    41-take layout because the derived anchor assumes the reference
+    scales linearly in batch, which flatters it ever more at larger B.
   * rbg PRNG (vs the default threefry) is the default everywhere:
     +69% train-step throughput (44.6 -> 26.4 ms/step at batch 256) and
     ~+4% sampling.
