@@ -185,6 +185,33 @@ def main(argv=None):
             (chunks_per_take, n_takes), args.guidance_param
         )
 
+    # multi-chip: shard the take batch over the mesh's data axis — GSPMD
+    # shards the whole denoise scan (equivalence tested on the virtual
+    # mesh, tests/test_distributed.py::TestShardedSampling)
+    if jax.device_count() > 1:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        from gesturediffusion_tpu.parallel import mesh as mesh_lib
+
+        mesh = mesh_lib.make_mesh()
+        dp = mesh.shape["data"]
+        if n_takes % dp == 0:
+            stacked_conds = {
+                k: jax.device_put(
+                    v, NamedSharding(mesh, PartitionSpec(None, "data"))
+                )
+                for k, v in stacked_conds.items()
+            }
+            init_seed = jax.device_put(
+                init_seed, NamedSharding(mesh, PartitionSpec("data"))
+            )
+            log_lib.log(f"sampling data-parallel over {dp} devices")
+        else:
+            log_lib.log(
+                f"n_takes={n_takes} not divisible by data axis {dp} — "
+                "sampling unsharded"
+            )
+
     log_lib.log(
         f"### Sampling all {chunks_per_take} chunks as one device program"
     )
