@@ -139,7 +139,29 @@ def main(argv=None):
     # empty text condition => unconditioned editing (guidance 0)
     has_text = args.text_condition != ""
     guidance = args.guidance_param if has_text else 0.0
-    if guidance != 1:
+
+    # MDM sampling fast path (models/mdm_fastpath.py), as in generate.py
+    from gesturediffusion_tpu.models.mdm import MDM as _MDM
+
+    cond_precompute = None
+    use_fast = (
+        not getattr(args, "no_fast_sampler", False)
+        and isinstance(model, _MDM)
+        and model.mfcc_input
+    )
+    if use_fast:
+        from gesturediffusion_tpu.models.mdm_fastpath import (
+            make_fast_cfg_fn,
+            make_fast_model_fn,
+        )
+
+        if guidance != 1:
+            cond_precompute, model_fn = make_fast_cfg_fn(
+                model, params, max(args.cond_mask_prob, 1e-9)
+            )
+        else:
+            cond_precompute, model_fn = make_fast_model_fn(model, params)
+    elif guidance != 1:
         model_fn = classifier_free_guidance(
             base_model_fn, cond_mask_prob=max(args.cond_mask_prob, 1e-9)
         )
@@ -168,6 +190,8 @@ def main(argv=None):
 
     @jax.jit
     def run(rng, c):
+        if cond_precompute is not None:
+            c = cond_precompute(c)
         return sampling.p_sample_loop(
             diffusion,
             model_fn,
