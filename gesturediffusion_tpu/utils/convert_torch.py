@@ -301,11 +301,44 @@ def export_mdm_state_dict(variables: dict, model: Any) -> dict:
     return out
 
 
+def export_motion_mdm_state_dict(variables: dict, model: Any) -> dict:
+    """Flax MotionMDM variables -> upstream-MDM torch state dict
+    (inverse of convert_motion_mdm_state_dict; pe buffer included)."""
+    P = variables["params"]
+    out: dict = {}
+    _export_linear(out, "input_process.poseEmbedding", P["input_process"])
+    _export_linear(out, "output_process.poseFinal", P["output_process"])
+    _export_linear(out, "embed_timestep.time_embed.0",
+                   P["embed_timestep"]["time_embed_0"])
+    _export_linear(out, "embed_timestep.time_embed.2",
+                   P["embed_timestep"]["time_embed_1"])
+    _export_encoder_layers(out, P["seqTransEncoder"], model.num_layers)
+    if model.cond_mode == "text":
+        _export_linear(out, "embed_text", P["embed_text"])
+    elif model.cond_mode == "action":
+        # upstream's action embedding is a bare matrix — a trained Dense
+        # bias has no slot there; fold it into every row instead
+        # (one_hot @ W + b == one_hot @ (W + b_row))
+        out["embed_action.action_embedding"] = (
+            np.asarray(P["embed_action"]["kernel"], np.float32)
+            + np.asarray(P["embed_action"]["bias"], np.float32)[None, :]
+        )
+    pe = _pe_buffer(model.latent_dim)
+    out["sequence_pos_encoder.pe"] = pe
+    out["embed_timestep.sequence_pos_encoder.pe"] = pe
+    return out
+
+
 def save_torch_checkpoint(path: str, variables: dict, model: Any) -> str:
     """Export Flax variables as a reference-loadable torch .pt file."""
     import torch
 
-    sd = export_mdm_state_dict(variables, model)
+    from gesturediffusion_tpu.models.mdm import MDM
+
+    if isinstance(model, MDM):
+        sd = export_mdm_state_dict(variables, model)
+    else:
+        sd = export_motion_mdm_state_dict(variables, model)
     # .copy(): jax buffers are non-writable; torch warns (and writing
     # through the tensor would be UB)
     torch.save(

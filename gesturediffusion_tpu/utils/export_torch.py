@@ -35,6 +35,7 @@ def main(argv=None):
         train_args = argparse.Namespace(**json.load(f))
 
     from gesturediffusion_tpu.models.mdm import MDM
+    from gesturediffusion_tpu.models.mdm_t2m import MotionMDM
     from gesturediffusion_tpu.utils.checkpoint import load_checkpoint
     from gesturediffusion_tpu.utils.convert_torch import (
         save_torch_checkpoint,
@@ -42,10 +43,10 @@ def main(argv=None):
     from gesturediffusion_tpu.utils.model_factory import create_model
 
     model = create_model(train_args)
-    if not isinstance(model, MDM):
+    if not isinstance(model, (MDM, MotionMDM)):
         raise NotImplementedError(
-            "torch export currently covers the gesture MDM family "
-            f"(got {type(model).__name__})"
+            "torch export covers the gesture MDM and upstream MotionMDM "
+            f"families (got {type(model).__name__})"
         )
     ckpt = load_checkpoint(args.model_path)
     variables = (

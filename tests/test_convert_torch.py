@@ -353,6 +353,40 @@ class TestConvertMotionMDM:
         return sd
 
     @pytest.mark.parametrize("cond", ["text", "action"])
+    def test_export_import_roundtrip(self, cond, tmp_path):
+        """MotionMDM export -> .pt -> import reproduces params exactly."""
+        import torch
+
+        from gesturediffusion_tpu.utils.convert_torch import (
+            convert_motion_mdm_state_dict,
+            save_torch_checkpoint,
+        )
+
+        model = MotionMDM(
+            njoints=25, latent_dim=D, ff_size=64, num_layers=2,
+            num_heads=4, cond_mode=cond, cond_mask_prob=0.1,
+            num_actions=12,
+        )
+        cond_in = (
+            {"text_emb": jnp.zeros((1, 512))}
+            if cond == "text"
+            else {"action": jnp.zeros((1,), jnp.int32)}
+        )
+        variables = model.init(
+            jax.random.PRNGKey(2), jnp.zeros((1, 25, 1, T)),
+            jnp.zeros((1,), jnp.int32), cond_in,
+        )
+        path = str(tmp_path / f"mm_{cond}.pt")
+        save_torch_checkpoint(path, variables, model)
+        sd = torch.load(path, map_location="cpu", weights_only=True)
+        rt = convert_motion_mdm_state_dict(sd, model)
+        diffs = jax.tree_util.tree_map(
+            lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+            variables["params"], rt["params"],
+        )
+        assert max(jax.tree_util.tree_leaves(diffs)) < 1e-6
+
+    @pytest.mark.parametrize("cond", ["text", "action"])
     def test_converts_and_runs(self, cond):
         model = MotionMDM(
             njoints=25, latent_dim=D, ff_size=64, num_layers=2,
