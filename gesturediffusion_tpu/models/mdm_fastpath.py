@@ -214,6 +214,39 @@ def make_fast_model_fn(
     return precompute, fast_fn
 
 
+def select_sampling_model_fn(
+    model: Any,
+    params: Any,
+    guidance: float,
+    cond_mask_prob: float,
+    no_fast: bool = False,
+) -> tuple[Optional[Callable], Callable]:
+    """The sampling-CLI model_fn selector (shared by sample/generate.py
+    and sample/edit.py): returns (cond_precompute, model_fn).
+
+    Fast path when `model` is a gesture MDM with MFCC input and
+    `no_fast` is False; otherwise the plain module apply, CFG-wrapped
+    when guidance != 1.  For guidance == 0 (pure-unconditional editing,
+    where scale 0 returns the uncond pass exactly) cond_mask_prob is
+    clamped away from zero so the no-dropout assertion doesn't fire;
+    any other scale keeps the guard — CFG on a model trained without
+    conditioning dropout is meaningless."""
+    from gesturediffusion_tpu.models.cfg import classifier_free_guidance
+
+    p = max(cond_mask_prob, 1e-9) if guidance == 0 else cond_mask_prob
+    if not no_fast and isinstance(model, MDM) and model.mfcc_input:
+        if guidance != 1:
+            return make_fast_cfg_fn(model, params, p)
+        return make_fast_model_fn(model, params)
+
+    def base_model_fn(x, t, c):
+        return model.apply(params, x, t, c)
+
+    if guidance != 1:
+        return None, classifier_free_guidance(base_model_fn, p)
+    return None, base_model_fn
+
+
 def make_fast_cfg_fn(
     model: MDM,
     params: Any,

@@ -48,6 +48,12 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def axis1_batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard axis 1 over 'data' — the chunk-cond layout [C, B, ...]
+    (sampling's per-chunk scan inputs carry the batch second)."""
+    return NamedSharding(mesh, P(None, "data"))
+
+
 def shard_batch(mesh: Mesh, batch):
     """Place a host batch pytree with the batch axis sharded over 'data'.
 

@@ -32,7 +32,6 @@ from gesturediffusion_tpu.data.humanml_utils import (
     HML_UPPER_BODY_MASK,
 )
 from gesturediffusion_tpu.diffusion import sampling
-from gesturediffusion_tpu.models.cfg import classifier_free_guidance
 from gesturediffusion_tpu.ops.motion_process import recover_from_ric
 from gesturediffusion_tpu.utils import logger as log_lib
 from gesturediffusion_tpu.utils import paramutil
@@ -133,40 +132,19 @@ def main(argv=None):
     model, diffusion = create_model_and_diffusion(args, dataset)
     params = load_checkpoint(args.model_path, model=model)["params"]
 
-    def base_model_fn(x, t, c):
-        return model.apply(params, x, t, c)
-
     # empty text condition => unconditioned editing (guidance 0)
     has_text = args.text_condition != ""
     guidance = args.guidance_param if has_text else 0.0
 
     # MDM sampling fast path (models/mdm_fastpath.py), as in generate.py
-    from gesturediffusion_tpu.models.mdm import MDM as _MDM
-
-    cond_precompute = None
-    use_fast = (
-        not getattr(args, "no_fast_sampler", False)
-        and isinstance(model, _MDM)
-        and model.mfcc_input
+    from gesturediffusion_tpu.models.mdm_fastpath import (
+        select_sampling_model_fn,
     )
-    if use_fast:
-        from gesturediffusion_tpu.models.mdm_fastpath import (
-            make_fast_cfg_fn,
-            make_fast_model_fn,
-        )
 
-        if guidance != 1:
-            cond_precompute, model_fn = make_fast_cfg_fn(
-                model, params, max(args.cond_mask_prob, 1e-9)
-            )
-        else:
-            cond_precompute, model_fn = make_fast_model_fn(model, params)
-    elif guidance != 1:
-        model_fn = classifier_free_guidance(
-            base_model_fn, cond_mask_prob=max(args.cond_mask_prob, 1e-9)
-        )
-    else:
-        model_fn = base_model_fn
+    cond_precompute, model_fn = select_sampling_model_fn(
+        model, params, guidance, args.cond_mask_prob,
+        no_fast=getattr(args, "no_fast_sampler", False),
+    )
 
     inpainting_mask = build_edit_masks(
         args.edit_mode, motion, cond["lengths"],

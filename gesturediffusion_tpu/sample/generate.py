@@ -28,7 +28,6 @@ import numpy as np
 from gesturediffusion_tpu.data.collate import collate_gesture, device_cond
 from gesturediffusion_tpu.data.registry import get_dataset
 from gesturediffusion_tpu.diffusion import sampling
-from gesturediffusion_tpu.models.cfg import classifier_free_guidance
 from gesturediffusion_tpu.utils import logger as log_lib
 from gesturediffusion_tpu.utils import paramutil
 from gesturediffusion_tpu.utils.cache import enable_compilation_cache
@@ -108,38 +107,17 @@ def main(argv=None):
     ckpt = load_checkpoint(args.model_path, model=model)
     params = ckpt["params"]
 
-    def base_model_fn(x, t, c):
-        return model.apply(params, x, t, c)
-
     # MDM sampling fast path: hoist the loop-invariant conditioning out of
     # the denoise scan (models/mdm_fastpath.py); exact in f32, bf16-rounding
     # otherwise.  --no_fast_sampler falls back to the straight module apply.
-    from gesturediffusion_tpu.models.mdm import MDM as _MDM
-
-    cond_precompute = None
-    use_fast = (
-        not getattr(args, "no_fast_sampler", False)
-        and isinstance(model, _MDM)
-        and model.mfcc_input
+    from gesturediffusion_tpu.models.mdm_fastpath import (
+        select_sampling_model_fn,
     )
-    if use_fast:
-        from gesturediffusion_tpu.models.mdm_fastpath import (
-            make_fast_cfg_fn,
-            make_fast_model_fn,
-        )
 
-        if args.guidance_param != 1:
-            cond_precompute, model_fn = make_fast_cfg_fn(
-                model, params, args.cond_mask_prob
-            )
-        else:
-            cond_precompute, model_fn = make_fast_model_fn(model, params)
-    elif args.guidance_param != 1:
-        model_fn = classifier_free_guidance(
-            base_model_fn, cond_mask_prob=args.cond_mask_prob
-        )
-    else:
-        model_fn = base_model_fn
+    cond_precompute, model_fn = select_sampling_model_fn(
+        model, params, args.guidance_param, args.cond_mask_prob,
+        no_fast=getattr(args, "no_fast_sampler", False),
+    )
 
     shape = (n_takes, dataset.pose_dim, 1, args.num_frames)
     sampler_name = getattr(args, "sampler", "ddpm")
@@ -189,21 +167,18 @@ def main(argv=None):
     # shards the whole denoise scan (equivalence tested on the virtual
     # mesh, tests/test_distributed.py::TestShardedSampling)
     if jax.device_count() > 1:
-        from jax.sharding import NamedSharding, PartitionSpec
-
         from gesturediffusion_tpu.parallel import mesh as mesh_lib
 
         mesh = mesh_lib.make_mesh()
         dp = mesh.shape["data"]
         if n_takes % dp == 0:
+            cc_sh = mesh_lib.axis1_batch_sharding(mesh)
             stacked_conds = {
-                k: jax.device_put(
-                    v, NamedSharding(mesh, PartitionSpec(None, "data"))
-                )
+                k: jax.device_put(v, cc_sh)
                 for k, v in stacked_conds.items()
             }
             init_seed = jax.device_put(
-                init_seed, NamedSharding(mesh, PartitionSpec("data"))
+                init_seed, mesh_lib.batch_sharding(mesh)
             )
             log_lib.log(f"sampling data-parallel over {dp} devices")
         else:

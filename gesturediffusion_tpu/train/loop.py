@@ -424,10 +424,27 @@ class TrainLoop:
             else {}
         )
         tx = make_optimizer(self.config)
+        opt_state = tx.init(params)
+        if step:
+            # resume the LR-anneal schedule at the filename step (the
+            # reference anneals on step + resume_step); Adam's own count
+            # stays 0 — its moments ARE fresh, so fresh bias correction
+            # is the correct pairing
+            def _advance(s):
+                if isinstance(s, optax.ScaleByScheduleState):
+                    return optax.ScaleByScheduleState(
+                        count=jnp.asarray(step, s.count.dtype)
+                    )
+                return s
+
+            opt_state = jax.tree_util.tree_map(
+                _advance, opt_state,
+                is_leaf=lambda s: isinstance(s, optax.ScaleByScheduleState),
+            )
         self.state = TrainState(
             step=jnp.asarray(step, jnp.int32),
             params=params,
-            opt_state=tx.init(params),
+            opt_state=opt_state,
             ema_params=ema,
             sampler=self.state.sampler,
             model_state=model_state or self.state.model_state,

@@ -109,6 +109,15 @@ def convert_mdm_state_dict(sd: dict, model: Any) -> dict:
     `models/mdm.py::MDM` (reference layout: model/mdm.py:10-103).
     """
     sd = dict(sd)
+    if "project_to_lat.weight" not in sd:
+        # V2 fingerprint; a V1 (mdm_old) checkpoint has no projection —
+        # say so instead of KeyError'ing mid-conversion
+        raise ValueError(
+            "checkpoint has no 'project_to_lat.*' — this looks like an "
+            "MDM V1 (mdm_old) state dict; convert it with "
+            "convert_mdm_old_state_dict onto models/mdm_old.py::MDMOld "
+            "(the CLIs build the V2 model only, matching the reference)"
+        )
     params = {
         "input_process": _linear(sd, "input_process.poseEmbedding"),
         "project_to_lat": _linear(sd, "project_to_lat"),
@@ -275,6 +284,13 @@ def export_mdm_state_dict(variables: dict, model: Any) -> dict:
     if model.use_wav_enc:
         wav_p = P["wav_encoder"]
         wav_s = variables.get("batch_stats", {}).get("wav_encoder", {})
+        if not wav_s:
+            raise ValueError(
+                "use_wav_enc export needs the 'batch_stats' collection "
+                "(BatchNorm running stats) in `variables` — EMA trees "
+                "don't carry it; merge the live batch_stats in "
+                "(utils/export_torch.py does)"
+            )
         for i, ci in enumerate((0, 3, 6, 9)):
             out[f"wav_encoder.feat_extractor.{ci}.weight"] = np.asarray(
                 wav_p[f"conv_{i}"]["kernel"], np.float32

@@ -25,6 +25,7 @@ def main(argv=None):
                         help="export the EMA weights instead")
     args = parser.parse_args(argv)
 
+    args.model_path = os.path.normpath(args.model_path)
     args_json = os.path.join(os.path.dirname(args.model_path), "args.json")
     if not os.path.isfile(args_json):
         raise FileNotFoundError(
@@ -49,10 +50,21 @@ def main(argv=None):
             f"families (got {type(model).__name__})"
         )
     ckpt = load_checkpoint(args.model_path)
-    variables = (
-        ckpt["ema_params"] if args.ema and ckpt.get("ema_params")
-        else ckpt["params"]
-    )
+    if args.ema:
+        if not ckpt.get("ema_params"):
+            raise ValueError(
+                "--ema requested but the checkpoint has no EMA weights "
+                "(trained with ema_rate=0) — rerun without --ema"
+            )
+        variables = dict(ckpt["ema_params"])
+        # EMA tracks params only; BatchNorm running stats (wav encoder)
+        # live in the live variables' batch_stats collection
+        if "batch_stats" in ckpt["params"]:
+            variables.setdefault(
+                "batch_stats", ckpt["params"]["batch_stats"]
+            )
+    else:
+        variables = ckpt["params"]
     save_torch_checkpoint(args.out, variables, model)
     print(f"wrote {args.out}")
     return args.out

@@ -321,6 +321,45 @@ class TestTrainStep:
         assert max(jtu.tree_leaves(ediffs)) < 1e-6
         loop.run_loop()  # 3 steps (126 - 123) must run clean
 
+    def test_finetune_resumes_lr_anneal_schedule(self, tmp_path):
+        """load_torch must advance the LR-anneal schedule count to the
+        filename step (the reference anneals on step + resume_step) while
+        Adam's own count stays 0 (its moments are fresh)."""
+        import optax
+
+        from gesturediffusion_tpu.utils.convert_torch import (
+            save_torch_checkpoint,
+        )
+
+        loop = tiny_setup(tmp_path, num_steps=130, lr_anneal_steps=1000)
+        model = MDM(njoints=J, latent_dim=32, num_layers=1, ff_size=64,
+                    seed_poses=S, cl_head=4, window_size=10,
+                    cond_mask_prob=0.1)
+        pt = str(tmp_path / "model000000123.pt")
+        save_torch_checkpoint(pt, loop.state.params, model)
+        loop.load_torch(pt, model)
+
+        sched_counts = [
+            int(s.count)
+            for s in jax.tree_util.tree_leaves(
+                loop.state.opt_state,
+                is_leaf=lambda s: isinstance(
+                    s, optax.ScaleByScheduleState
+                ),
+            )
+            if isinstance(s, optax.ScaleByScheduleState)
+        ]
+        assert sched_counts and all(c == 123 for c in sched_counts)
+        adam_counts = [
+            int(s.count)
+            for s in jax.tree_util.tree_leaves(
+                loop.state.opt_state,
+                is_leaf=lambda s: isinstance(s, optax.ScaleByAdamState),
+            )
+            if isinstance(s, optax.ScaleByAdamState)
+        ]
+        assert adam_counts and all(c == 0 for c in adam_counts)
+
     def test_parse_resume_step(self):
         assert parse_resume_step_from_filename("/x/model000012345") == 12345
         assert parse_resume_step_from_filename("model000000050/") == 50
