@@ -260,6 +260,40 @@ class TestFastPathParity:
         with pytest.raises(ValueError, match="ONLY 'params'"):
             load_checkpoint(str(p), template={"x": 1}, model=object())
 
+    def test_select_sampling_model_fn(self):
+        """The shared CLI selector: fast path for gesture MDM, module
+        fallback otherwise, guidance-0 clamp for uncond editing."""
+        from gesturediffusion_tpu.models.mdm_fastpath import (
+            select_sampling_model_fn,
+        )
+
+        model, params, x, t, cond = _build()
+        # fast CFG
+        pre, fn = select_sampling_model_fn(model, params, 2.5, 0.1)
+        assert pre is not None
+        # fast non-CFG
+        pre1, fn1 = select_sampling_model_fn(model, params, 1.0, 0.1)
+        assert pre1 is not None
+        # opt-out -> CFG wrapper, no precompute
+        pre2, fn2 = select_sampling_model_fn(model, params, 2.5, 0.1,
+                                             no_fast=True)
+        assert pre2 is None
+        # guidance 0 with a no-dropout model: clamp lets the wrapper
+        # build (pure-uncond editing); any other scale keeps the guard
+        pre3, fn3 = select_sampling_model_fn(model, params, 0.0, 0.0,
+                                             no_fast=True)
+        assert pre3 is None and fn3 is not None
+        with pytest.raises(AssertionError):
+            select_sampling_model_fn(model, params, 2.5, 0.0, no_fast=True)
+
+        # non-MDM model -> module path even without no_fast
+        class NotMDM:
+            def apply(self, *a):
+                return None
+
+        pre4, _ = select_sampling_model_fn(NotMDM(), params, 2.5, 0.1)
+        assert pre4 is None
+
     def test_jit_under_scan(self):
         """fast_fn must be scan-compatible (static shapes, no host ops)."""
         model, params, x, t, cond = _build()
