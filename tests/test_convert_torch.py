@@ -317,6 +317,66 @@ class TestExportCLI:
         assert max(jax.tree_util.tree_leaves(diffs)) < 1e-6
 
 
+class TestWavEncoderRoundtrip:
+    def test_export_import_with_batch_stats(self, tmp_path):
+        """use_wav_enc: Conv/BatchNorm params + running stats must
+        round-trip through the torch layout (batch_stats collection)."""
+        import torch
+
+        from gesturediffusion_tpu.utils.convert_torch import (
+            convert_mdm_state_dict,
+            save_torch_checkpoint,
+        )
+
+        model = MDM(
+            njoints=J, latent_dim=D, ff_size=64, num_layers=1, num_heads=4,
+            seed_poses=S, cond_mask_prob=0.1, mfcc_input=False,
+            use_wav_enc=True, window_size=10, cl_head=8,
+        )
+        rs = np.random.RandomState(4)
+        variables = model.init(
+            jax.random.PRNGKey(3),
+            jnp.asarray(rs.randn(1, J, 1, T), jnp.float32),
+            jnp.zeros((1,), jnp.int32),
+            {"audio": jnp.asarray(rs.randn(1, 16000), jnp.float32),
+             "seed": jnp.asarray(rs.randn(1, J, 1, S), jnp.float32)},
+        )
+        assert "batch_stats" in variables
+        path = str(tmp_path / "wav.pt")
+        save_torch_checkpoint(path, variables, model)
+        sd = torch.load(path, map_location="cpu", weights_only=True)
+        rt = convert_mdm_state_dict(sd, model)
+        diffs = jax.tree_util.tree_map(
+            lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+            dict(variables), rt,
+        )
+        assert max(jax.tree_util.tree_leaves(diffs)) < 1e-6
+
+    def test_ema_export_without_batch_stats_errors(self):
+        """An EMA tree (params only, no batch_stats) must produce a clear
+        error, not a KeyError (EMA never tracks BN running stats)."""
+        from gesturediffusion_tpu.utils.convert_torch import (
+            export_mdm_state_dict,
+        )
+
+        model = MDM(
+            njoints=J, latent_dim=D, ff_size=64, num_layers=1, num_heads=4,
+            seed_poses=S, cond_mask_prob=0.1, mfcc_input=False,
+            use_wav_enc=True, window_size=10, cl_head=8,
+        )
+        rs = np.random.RandomState(4)
+        variables = model.init(
+            jax.random.PRNGKey(3),
+            jnp.asarray(rs.randn(1, J, 1, T), jnp.float32),
+            jnp.zeros((1,), jnp.int32),
+            {"audio": jnp.asarray(rs.randn(1, 16000), jnp.float32),
+             "seed": jnp.asarray(rs.randn(1, J, 1, S), jnp.float32)},
+        )
+        ema_like = {"params": variables["params"]}  # no batch_stats
+        with pytest.raises(ValueError, match="batch_stats"):
+            export_mdm_state_dict(ema_like, model)
+
+
 class TestConvertMotionMDM:
     """Upstream-MDM layout (text/action) — structural conversion checks
     (the upstream torch source is not vendored, so parity is covered by
