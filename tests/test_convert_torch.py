@@ -136,6 +136,26 @@ class TestConvertMDM:
         )
         assert np.all(np.isfinite(np.asarray(out)))
 
+    def test_wrapped_state_dict_unwraps(self, tmp_path):
+        """Some reference tooling saves {'model': state_dict} wrappers —
+        load_torch_checkpoint must unwrap them."""
+        import torch
+
+        ref, ours = self._build_pair()
+        path = str(tmp_path / "model000000009.pt")
+        torch.save({"model": ref.state_dict()}, path)
+        variables = load_torch_checkpoint(path, ours)
+        assert "params" in variables
+
+    def test_v1_checkpoint_clear_error(self):
+        """A V1 state dict hitting the V2 converter must explain itself."""
+        _, ours = self._build_pair()
+        with pytest.raises(ValueError, match="mdm_old"):
+            convert_mdm_state_dict(
+                {"input_process.poseEmbedding.weight": np.zeros((2, 2))},
+                ours,
+            )
+
     def test_layout_drift_fails_loudly(self):
         ref, ours = self._build_pair()
         sd = dict(ref.state_dict())
