@@ -179,22 +179,25 @@ class A2MDataset:
         raise ValueError("Sampling not recognized.")
 
     # -------------------------------------------------------------- #
-    def __getitem__(self, index: int) -> dict:
-        indices = self._train if self.split == "train" else self._test
-        data_index = indices[index]
+    def _item_for_data_index(self, data_index: int) -> dict:
+        """Materialize one item given a raw video/clip index (shared by
+        __getitem__ and A2MSplitView)."""
         frame_ix = self._sample_frames(data_index)
         motion = self._load(data_index, frame_ix)
         action = self.action_to_label(self._actions[data_index])
-        out = {
+        return {
             "motion": motion.reshape(-1, motion.shape[-1]).T,  # [T, J*F]
             "pose": motion,  # [J, F, T] canonical a2m layout
             "action": int(action),
             "length": motion.shape[-1],
+            "action_text": self.action_to_action_name(
+                self._actions[data_index]
+            ),
         }
-        out["action_text"] = self.action_to_action_name(
-            self._actions[data_index]
-        )
-        return out
+
+    def __getitem__(self, index: int) -> dict:
+        indices = self._train if self.split == "train" else self._test
+        return self._item_for_data_index(indices[index])
 
     def __len__(self) -> int:
         num_seq_max = self.num_seq_max if self.num_seq_max != -1 else np.inf
@@ -216,6 +219,39 @@ class A2MDataset:
                 self._original_test = list(self._test)
             else:
                 self._test = list(self._original_test)
+
+
+class A2MSplitView:
+    """An explicit per-split view over an A2MDataset: owns its index
+    order and shuffle state, shares the (read-only) motion payload.
+    Replaces shallow-copy split surgery — a new mutable field on the
+    dataset can never silently leak across split views."""
+
+    def __init__(self, dataset: A2MDataset, split: str,
+                 seed: Optional[int] = None):
+        if split not in ("train", "test"):
+            raise ValueError(f"{split} is not a valid split view")
+        self.dataset = dataset
+        self.split = split
+        base = dataset._train if split == "train" else dataset._test
+        self._original = list(base)
+        self._indices = list(base)
+        self.rng = random.Random(0 if seed is None else seed)
+
+    def __len__(self) -> int:
+        limit = self.dataset.num_seq_max
+        if limit == -1:
+            return len(self._indices)
+        return min(len(self._indices), limit)
+
+    def __getitem__(self, index: int) -> dict:
+        return self.dataset._item_for_data_index(self._indices[index])
+
+    def shuffle(self) -> None:
+        self.rng.shuffle(self._indices)
+
+    def reset_shuffle(self) -> None:
+        self._indices = list(self._original)
 
 
 class HumanAct12Poses(A2MDataset):

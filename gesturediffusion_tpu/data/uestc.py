@@ -1,70 +1,97 @@
 """UESTC action-to-motion dataset (VIBE-estimated SMPL rotvecs, 40 classes).
 
-Functional parity surface with the reference loader
-(reference: data_loaders/a2m/uestc.py:51-215 — vibe_cache_refined.pkl,
-per-video frame counts, global translation recovery from the VIBE camera
-(get_trans_from_vibe :26-48), 8-view front-view rotation correction
-:122-152, 51/67 train/test subject split, min-frame filtering :168-176).
+Protocol-compatible with the reference loader — the on-disk layout,
+subject split, camera math, and front-view correction must match
+bit-for-bit to load the same dataset (spec:
+data_loaders/a2m/uestc.py:14-48 camera depth recovery, :63-73 51/67
+train/test subject split, :122-152 8-view yaw correction for side-2
+recordings, :168-176 min-frame train filtering) — but structured this
+repo's way: vectorized numpy (the reference loops python-per-frame),
+closed-form yaw matrices, and structured video records.
 
-Host-side numpy end to end.
+Host-side numpy end to end (no device round-trips in workers).
 """
 
 from __future__ import annotations
 
 import os
 import pickle
+from typing import NamedTuple
 
 import numpy as np
 
 from gesturediffusion_tpu.data.a2m import A2MDataset
-from gesturediffusion_tpu.ops.rotations_np import axis_angle_to_matrix_np
+from gesturediffusion_tpu.ops.rotations_np import (
+    axis_angle_to_matrix_np,
+    matrix_to_axis_angle_np,
+)
 
+# action2motion's 18-joint subset of VIBE's 49 regressed joints
 ACTION2MOTION_JOINTS = [8, 1, 2, 3, 4, 5, 6, 7, 0, 9, 10, 11, 12, 13, 14,
                         21, 24, 38]
 
+# 51 of the 118 capture subjects train; the rest test
+# (spec: data_loaders/a2m/uestc.py:66-73)
 TRAIN_SUBJECTS = [
     1, 2, 6, 12, 13, 16, 21, 24, 28, 29, 30, 31, 33, 35, 39, 41, 42, 45,
     47, 50, 52, 54, 55, 57, 59, 61, 63, 64, 67, 69, 70, 71, 73, 77, 81,
     84, 86, 87, 88, 90, 91, 93, 96, 99, 102, 103, 104, 107, 108, 112, 113,
 ]
 
-
-def get_z(cam_s, cam_pos, joints, img_size, flength):
-    """Depth offset approximating orthographic with a perspective camera."""
-    joints_orth_target = (cam_s * (joints[:, :2] + cam_pos) + 1) * 0.5 * img_size
-    height3d = np.linalg.norm(
-        np.max(joints[:, :2], axis=0) - np.min(joints[:, :2], axis=0)
-    )
-    height2d = np.linalg.norm(
-        np.max(joints_orth_target, axis=0) - np.min(joints_orth_target, axis=0)
-    )
-    return float(np.array(flength * (height3d / height2d)))
+_NUM_SUBJECTS = 118
+_NUM_ACTIONS = 40
+_IMG_SIZE = 540.0
+_FOCAL_LENGTH = 500.0
 
 
-def get_trans_from_vibe(vibe, index, use_z=True) -> np.ndarray:
-    alltrans = []
-    for t in range(vibe["joints3d"][index].shape[0]):
-        cam_orig = vibe["orig_cam"][index][t]
-        x, y = cam_orig[2], cam_orig[3]
-        z = (
-            get_z(cam_s=cam_orig[0], cam_pos=cam_orig[2:4],
-                  joints=vibe["joints3d"][index][t], img_size=540,
-                  flength=500)
-            if use_z
-            else 0
-        )
-        alltrans.append([x, y, z])
-    alltrans = np.array(alltrans)
-    return alltrans - alltrans[0]
+class VideoRecord(NamedTuple):
+    """Fields encoded in a UESTC video filename
+    `a{action}_d{view}_p{subject:03d}_c{side}_color.avi`."""
+
+    action: int
+    view: int
+    subject: int
+    side: int
+
+    @classmethod
+    def from_name(cls, name: str) -> "VideoRecord":
+        fields = name.split("_")[:4]
+        return cls(*(int(f[1:]) for f in fields))
 
 
-def _matrix_to_axis_angle_np(m: np.ndarray) -> np.ndarray:
-    # pure-numpy twin of ops.rotations.matrix_to_axis_angle: data loading
-    # must never pay a device round-trip (eager readback through the TPU
-    # tunnel can hang/crash)
-    from gesturediffusion_tpu.ops.rotations_np import matrix_to_axis_angle_np
+def vibe_global_translation(orig_cam: np.ndarray,
+                            use_depth: bool = True) -> np.ndarray:
+    """Per-frame global translation [T, 3] from VIBE's original-image
+    weak-perspective camera [T, 4] = [sx, sy, tx, ty], relative to the
+    first frame.
 
-    return matrix_to_axis_angle_np(m)
+    x/y come straight from the camera offsets.  The depth is the
+    reference's orthographic-to-perspective fit (spec:
+    data_loaders/a2m/uestc.py:14-23): it solves
+    ``z = flength * h3d / h2d`` where h2d is the image-space joint
+    bounding-diagonal under the weak-perspective projection
+    ``(s * (xy + t) + 1) * 0.5 * img``.  That projection is affine in
+    xy, so h2d == s * 0.5 * img * h3d and the joints cancel exactly:
+    ``z = flength / (0.5 * img * s)``.  We use the closed form (the
+    reference computes the same value the long way round through the
+    joints, per frame in python).
+    """
+    cam = np.asarray(orig_cam, np.float64)
+    xy = cam[:, 2:4]
+    if use_depth:
+        z = _FOCAL_LENGTH / (0.5 * _IMG_SIZE * cam[:, 0:1])
+    else:
+        z = np.zeros((cam.shape[0], 1))
+    trans = np.concatenate([xy, z], axis=1)
+    return trans - trans[0]
+
+
+def yaw_matrix(view: int) -> np.ndarray:
+    """Rotation undoing camera view `view` (views sit every 45 deg around
+    +y; spec: data_loaders/a2m/uestc.py:122-130)."""
+    theta = -view * np.pi / 4
+    c, s = np.cos(theta), np.sin(theta)
+    return np.array([[c, 0.0, s], [0.0, 1.0, 0.0], [-s, 0.0, c]])
 
 
 class UESTC(A2MDataset):
@@ -76,120 +103,116 @@ class UESTC(A2MDataset):
         self.method_name = method_name
         self.view = view
         super().__init__(**kwargs)
-
-        with open(os.path.join(datapath, "info", "num_frames_min.txt")) as f:
-            num_frames_video = np.asarray(
-                [int(s) for s in f.read().splitlines()]
-            )
-        all_subjects = np.arange(1, 119)
-        self._tr_subjects = TRAIN_SUBJECTS
-        self._test_subjects = [
-            s for s in all_subjects if s not in self._tr_subjects
-        ]
-
-        with open(os.path.join(datapath, "info", "names.txt")) as f:
-            videos = f.read().splitlines()
-        self._videos = videos
-
         if method_name != "vibe":
-            raise ValueError("This method name is not recognized.")
-        with open(os.path.join(datapath, "vibe_cache_refined.pkl"), "rb") as f:
-            vibe_data = pickle.load(f)
-        self._pose = vibe_data["pose"]
-        num_frames_method = [p.shape[0] for p in self._pose]
-        globpath = os.path.join(datapath, "globtrans_usez.pkl")
-        if os.path.exists(globpath):
-            with open(globpath, "rb") as f:
+            raise ValueError(
+                f"UESTC supports only VIBE-estimated poses, got "
+                f"method_name={method_name!r}"
+            )
+
+        self._videos = self._read_info_lines("names.txt")
+        frame_counts = np.asarray(
+            [int(s) for s in self._read_info_lines("num_frames_min.txt")]
+        )
+        self._action_classes = np.array(
+            self._read_info_lines("action_classes.txt")
+        )
+        self.records = [VideoRecord.from_name(v) for v in self._videos]
+        self.info_actions = [r._asdict() for r in self.records]
+        self._actions = [r.action for r in self.records]
+
+        self.num_actions = self.num_classes = _NUM_ACTIONS
+        self._action_to_label = {a: a for a in range(_NUM_ACTIONS)}
+        self._label_to_action = {a: a for a in range(_NUM_ACTIONS)}
+        self._tr_subjects = TRAIN_SUBJECTS
+        self._test_subjects = sorted(
+            set(range(1, _NUM_SUBJECTS + 1)) - set(TRAIN_SUBJECTS)
+        )
+
+        self._load_vibe_cache()
+        self._jointsIx = ACTION2MOTION_JOINTS
+        frame_counts = np.minimum(
+            frame_counts, [p.shape[0] for p in self._pose]
+        ).astype(int)
+        self._num_frames_in_video = list(frame_counts)
+
+        self._train, self._test = self._correct_views_and_split()
+
+        # keep only train sequences long enough for the window
+        # (spec: data_loaders/a2m/uestc.py:168-176 — test kept untouched)
+        min_ok = self.num_frames * 3 / 4 if self.num_frames > 0 else 0
+        long_enough = set(np.flatnonzero(frame_counts >= min_ok).tolist())
+        self._train = list(set(self._train) & long_enough)
+        self._test = list(set(self._test))
+
+    # -------------------------------------------------------------- #
+    def _read_info_lines(self, fname: str) -> list[str]:
+        with open(os.path.join(self.datapath, "info", fname)) as f:
+            return f.read().splitlines()
+
+    def _load_vibe_cache(self) -> None:
+        with open(os.path.join(self.datapath, "vibe_cache_refined.pkl"),
+                  "rb") as f:
+            vibe = pickle.load(f)
+        self._pose = vibe["pose"]
+        self._joints = vibe["joints3d"]
+        cache = os.path.join(self.datapath, "globtrans_usez.pkl")
+        if os.path.exists(cache):
+            with open(cache, "rb") as f:
                 self._globtrans = pickle.load(f)
         else:
             self._globtrans = [
-                get_trans_from_vibe(vibe_data, i, use_z=True)
-                for i in range(len(self._pose))
+                vibe_global_translation(cam) for cam in vibe["orig_cam"]
             ]
-            with open(globpath, "wb") as f:
+            with open(cache, "wb") as f:
                 pickle.dump(self._globtrans, f)
-        self._joints = vibe_data["joints3d"]
-        self._jointsIx = ACTION2MOTION_JOINTS
 
-        num_frames_video = np.minimum(
-            num_frames_video, num_frames_method
-        ).astype(int)
-        self._num_frames_in_video = list(num_frames_video)
-
-        self._actions = [self.parse_action(v) for v in videos]
-        self.num_actions = 40
-        keep = np.arange(40)
-        self._action_to_label = {int(x): i for i, x in enumerate(keep)}
-        self._label_to_action = {i: int(x) for i, x in enumerate(keep)}
-        self.num_classes = 40
-
-        # per-view yaw rotations for front-view correction
-        def rot(view):
-            theta = -view * np.pi / 4
-            return axis_angle_to_matrix_np(
-                np.asarray([0.0, theta, 0.0], np.float64)[None]
-            )[0]
-
-        rotations = {k: rot(k) for k in range(8)}
-
-        self._train, self._test = [], []
-        self.info_actions = []
-        for index, video in enumerate(videos):
-            act, vw, subject, side = self._get_action_view_subject_side(video)
-            self.info_actions.append(
-                {"action": act, "view": vw, "subject": subject, "side": side}
-            )
-            if self.view == "frontview" and side != 1:
-                continue
-            if side != 1:
-                if vw == 8:
+    def _correct_views_and_split(self) -> tuple[list[int], list[int]]:
+        """Rotate side-2 recordings to the front view (in place, on the
+        shared pose/joints/globtrans payload), translate joints into
+        global space, and bucket each video by its subject's split."""
+        train, test = [], []
+        train_subjects = set(self._tr_subjects)
+        for index, rec in enumerate(self.records):
+            if rec.side != 1:
+                if self.view == "frontview" or rec.view == 8:
                     continue
-                rotation = rotations[vw]
-                global_matrix = axis_angle_to_matrix_np(
-                    self._pose[index][:, :3]
-                )
-                self._pose[index][:, :3] = _matrix_to_axis_angle_np(
-                    rotation @ global_matrix
-                )
-                self._joints[index] = self._joints[index] @ rotation.T
-                self._globtrans[index] = self._globtrans[index] @ rotation.T
+                self._rotate_to_front(index, rec.view)
             self._joints[index] = (
                 self._joints[index] + self._globtrans[index][:, None]
             )
-            if subject in self._tr_subjects:
-                self._train.append(index)
-            elif subject in self._test_subjects:
-                self._test.append(index)
+            if rec.subject in train_subjects:
+                train.append(index)
+            elif 1 <= rec.subject <= _NUM_SUBJECTS:
+                test.append(index)
             else:
-                raise ValueError("This subject doesn't belong to any set.")
+                raise ValueError(
+                    f"video {self._videos[index]!r}: subject "
+                    f"{rec.subject} outside the 1..{_NUM_SUBJECTS} range"
+                )
+        return train, test
 
-        threshold = self.num_frames * 3 / 4 if self.num_frames > 0 else 0
-        ok = set(np.where(num_frames_video >= threshold)[0].tolist())
-        self._train = list(set(self._train) & ok)
-        self._test = list(set(self._test))
+    def _rotate_to_front(self, index: int, view: int) -> None:
+        rot = yaw_matrix(view)
+        root_mats = axis_angle_to_matrix_np(self._pose[index][:, :3])
+        self._pose[index][:, :3] = matrix_to_axis_angle_np(rot @ root_mats)
+        self._joints[index] = self._joints[index] @ rot.T
+        self._globtrans[index] = self._globtrans[index] @ rot.T
 
-        with open(os.path.join(datapath, "info/action_classes.txt")) as f:
-            self._action_classes = np.array(f.read().splitlines())
-
+    # -------------------------------------------------------------- #
     def _load_joints3D(self, ind, frame_ix):
-        if len(self._joints[ind]) == 0:
-            raise ValueError(f"Cannot load index {ind} in _load_joints3D.")
-        if self._jointsIx is not None:
-            return self._joints[ind][frame_ix][:, self._jointsIx]
-        return self._joints[ind][frame_ix]
+        joints = self._joints[ind]
+        if len(joints) == 0:
+            raise ValueError(
+                f"UESTC video index {ind} has no VIBE joints3d frames"
+            )
+        return joints[frame_ix][:, self._jointsIx]
 
     def _load_rotvec(self, ind, frame_ix):
         return self._pose[ind][frame_ix, :].reshape(-1, 24, 3)
 
-    @staticmethod
-    def _get_action_view_subject_side(videopath):
-        spl = videopath.split("_")
-        return (int(spl[0][1:]), int(spl[1][1:]), int(spl[2][1:]),
-                int(spl[3][1:]))
-
     def parse_action(self, path, return_int=True):
-        info = self._get_action_view_subject_side(path)[0]
-        return int(info) if return_int else info
+        action = VideoRecord.from_name(path).action
+        return int(action) if return_int else action
 
 
 def make_synthetic_uestc(
@@ -204,7 +227,7 @@ def make_synthetic_uestc(
     tests (covers train/test subjects, side-2 view correction, all views).
 
     Layout mirrors what the real dataset directory provides
-    (reference: data_loaders/a2m/uestc.py:59-96 — info/num_frames_min.txt,
+    (spec: data_loaders/a2m/uestc.py:59-96 — info/num_frames_min.txt,
     info/names.txt, info/action_classes.txt, vibe_cache_refined.pkl with
     pose [T,72] / joints3d [T,49,3] / orig_cam [T,4] lists).
     """

@@ -31,6 +31,21 @@ from gesturediffusion_tpu.eval.networks import (
 from gesturediffusion_tpu.utils import logger as log_lib
 
 
+def _warn_random_classifier(name: str) -> None:
+    """Loud banner when an eval classifier falls back to random frozen
+    weights (mirrors eval/evaluator_wrapper.py's missing-finest.tar
+    warning).  The reference protocol assumes the downloaded tars
+    (reference: eval/a2m/stgcn/evaluate.py:22, eval/a2m/gru_eval.py:60);
+    without them every FID/accuracy number is meaningless."""
+    log_lib.log(
+        f"WARNING: {name} checkpoint not found — using RANDOM frozen "
+        "classifier weights; FID/accuracy/diversity are NOT comparable "
+        "to the reference protocol. Fetch the asset with "
+        "prepare/download_recognition_models.sh or point the env var at "
+        "an existing tar."
+    )
+
+
 class A2MEvaluation:
     """GRU-classifier based accuracy/FID/diversity/multimodality."""
 
@@ -62,6 +77,7 @@ class A2MEvaluation:
             sd = {k: v.numpy() for k, v in ckpt["model"].items()}
             self.params = convert_motion_discriminator(sd)
         else:
+            _warn_random_classifier("a2m GRU classifier (humanact12_gru.tar)")
             x0 = jnp.zeros((2, input_size_raw // 3, 3, 8))
             self.params = self.classifier.init(
                 jax.random.PRNGKey(seed), x0, jnp.asarray([8, 8])
@@ -211,6 +227,9 @@ class STGCNA2MEvaluation(A2MEvaluation):
                 {k: v.numpy() for k, v in sd.items()}
             )
         else:
+            _warn_random_classifier(
+                "UESTC STGCN classifier (uestc_rot6d_stgcn.tar)"
+            )
             x0 = jnp.zeros((2, in_channels, 16, 24))
             self.variables = self.model.init(jax.random.PRNGKey(seed), x0)
 
@@ -368,17 +387,9 @@ def evaluate_uestc(
     (reference: eval/a2m/stgcn_eval.py:78-147 — per-seed shuffles, gt+gen
     loaders per split, STGCN accuracy/FID/diversity/multimodality, metric
     keys suffixed `_train`/`_test`)."""
-    import copy
+    from gesturediffusion_tpu.data.a2m import A2MSplitView
 
-    splits = {}
-    for key in ("train", "test"):
-        ds = copy.copy(dataset)
-        ds.split = key
-        ds._train = list(dataset._train)
-        ds._test = list(dataset._test)
-        ds._original_train = None
-        ds._original_test = None
-        splits[key] = ds
+    splits = {key: A2MSplitView(dataset, key) for key in ("train", "test")}
 
     all_metrics: dict = {}
     for seed in range(num_seeds):
@@ -485,7 +496,25 @@ def _existing(path: Optional[str]) -> Optional[str]:
     return path if path and os.path.exists(path) else None
 
 
-def make_a2m_evaluation(dataset_name: str):
+def _require_classifier(path: Optional[str], env_var: str, default: str,
+                        eval_mode: Optional[str]) -> Optional[str]:
+    """Full-protocol a2m runs refuse to proceed without the real
+    classifier tar (random-init weights would silently produce garbage
+    FID/accuracy — the reference protocol assumes the downloaded assets,
+    reference: eval/a2m/stgcn/evaluate.py:22).  Debug / in-training runs
+    fall through to the ctor's loud random-init warning instead."""
+    if path is None and eval_mode == "full":
+        raise FileNotFoundError(
+            f"a2m full-protocol evaluation requires the classifier "
+            f"checkpoint; nothing found at ${env_var} "
+            f"(default: {default}). Fetch it with "
+            "prepare/download_recognition_models.sh, or use "
+            "--eval_mode debug for a smoke run with random-init weights."
+        )
+    return path
+
+
+def make_a2m_evaluation(dataset_name: str, eval_mode: Optional[str] = None):
     """Benchmark-evaluation object for an a2m dataset, resolving the
     classifier checkpoint from its env var / default asset path in ONE
     place (shared by the CLI and the in-training eval hook).
@@ -493,22 +522,29 @@ def make_a2m_evaluation(dataset_name: str):
     uestc -> STGCNA2MEvaluation over $UESTC_STGCN_PATH
     (reference: eval/a2m/stgcn_eval.py:87-95); anything else ->
     A2MEvaluation over $A2M_CLASSIFIER_PATH
-    (reference: eval/a2m/gru_eval.py:60-68)."""
+    (reference: eval/a2m/gru_eval.py:60-68).
+
+    eval_mode='full' refuses to run without the real checkpoint; any
+    other mode warns loudly and proceeds on random-init weights."""
     if dataset_name == "uestc":
+        env_var, default = (
+            "UESTC_STGCN_PATH",
+            "assets/actionrecognition/uestc_rot6d_stgcn.tar",
+        )
         return STGCNA2MEvaluation(
-            checkpoint_path=_existing(
-                os.environ.get(
-                    "UESTC_STGCN_PATH",
-                    "assets/actionrecognition/uestc_rot6d_stgcn.tar",
-                )
+            checkpoint_path=_require_classifier(
+                _existing(os.environ.get(env_var, default)),
+                env_var, default, eval_mode,
             ),
         )
+    env_var, default = (
+        "A2M_CLASSIFIER_PATH",
+        "assets/actionrecognition/humanact12_gru.tar",
+    )
     return A2MEvaluation(
-        checkpoint_path=_existing(
-            os.environ.get(
-                "A2M_CLASSIFIER_PATH",
-                "assets/actionrecognition/humanact12_gru.tar",
-            )
+        checkpoint_path=_require_classifier(
+            _existing(os.environ.get(env_var, default)),
+            env_var, default, eval_mode,
         ),
     )
 
@@ -663,7 +699,7 @@ def main(argv=None):
         )
 
     cond_mode = "no_cond" if args.unconstrained else "action"
-    evaluation = make_a2m_evaluation(args.dataset)
+    evaluation = make_a2m_evaluation(args.dataset, eval_mode=args.eval_mode)
     if args.dataset == "uestc":
         summary = evaluate_uestc(
             sample_fn, fk_fn, dataset, evaluation,
@@ -686,13 +722,15 @@ def main(argv=None):
             # full protocol uses 1000 unconstrained samples, matching
             # the mode table (reference: gru_eval.py:17,112)
             n_unconstrained = mode["num_samples"]
+            modi_env, modi_default = (
+                "MODI_STGCN_PATH",
+                "assets/actionrecognition/"
+                "humanact12_gru_modi_struct.pth.tar",
+            )
             evaluator = UnconstrainedEvaluator(
-                checkpoint_path=_existing(
-                    os.environ.get(
-                        "MODI_STGCN_PATH",
-                        "assets/actionrecognition/"
-                        "humanact12_gru_modi_struct.pth.tar",
-                    )
+                checkpoint_path=_require_classifier(
+                    _existing(os.environ.get(modi_env, modi_default)),
+                    modi_env, modi_default, args.eval_mode,
                 ),
             )
             summary.update(

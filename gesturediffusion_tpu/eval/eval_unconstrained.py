@@ -43,6 +43,14 @@ class UnconstrainedEvaluator:
                 {k: v.numpy() for k, v in sd.items()}
             )
         else:
+            from gesturediffusion_tpu.eval.eval_a2m import (
+                _warn_random_classifier,
+            )
+
+            _warn_random_classifier(
+                "MoDi unconstrained STGCN evaluator "
+                "(humanact12_gru_modi_struct.pth.tar)"
+            )
             x0 = jnp.zeros((2, 3, 16, 15))
             self.variables = self.model.init(jax.random.PRNGKey(seed), x0)
 

@@ -178,6 +178,11 @@ class MDM(nn.Module):
         *,
         train: bool = False,
     ) -> jax.Array:
+        # NOTE: models/mdm_fastpath.py re-derives this forward for
+        # inference (composed input projections, hoisted conditioning).
+        # Any change to the math below MUST be mirrored there;
+        # tests/test_fastpath.py::TestFastpathContract enumerates the
+        # config axes and fails on silent divergence.
         bs, njoints, nfeats, nframes = x.shape
         # computation dtype: params stay f32, activations in self.dtype
         # (bf16 halves the HBM traffic of the non-matmul ops on TPU)

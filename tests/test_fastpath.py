@@ -311,3 +311,99 @@ class TestFastPathParity:
 
         out = run(x)
         assert np.all(np.isfinite(np.asarray(out)))
+
+
+def _axis_id(v):
+    return str(v) if not hasattr(v, "dtype") else v.__name__
+
+
+class TestFastpathContract:
+    """The fastpath/model contract: for EVERY MDM config-flag combination,
+    make_fast_model_fn either matches model.apply or raises
+    NotImplementedError — no silently-unsupported combination.  Guards
+    the duplicated input math (models/mdm.py carries the matching
+    cross-reference comment)."""
+
+    AXES = [
+        (use_text, audio, fused, dtype, layout)
+        for use_text in (False, True)
+        for audio in ("mfcc", "wav")
+        for fused in (False, True)
+        for dtype in ("f32", "bf16")
+        for layout in ("bjft", "btj")
+    ]
+
+    @pytest.mark.parametrize(
+        "use_text,audio,fused,dtype,layout", AXES,
+        ids=lambda v: str(v),
+    )
+    def test_match_or_loud_reject(self, use_text, audio, fused, dtype,
+                                  layout):
+        dt = jnp.float32 if dtype == "f32" else jnp.bfloat16
+        model = MDM(
+            njoints=J, latent_dim=D, num_layers=2, ff_size=64, num_heads=4,
+            seed_poses=S, cond_mask_prob=0.1, mfcc_dim=A,
+            use_text=use_text, text_dim=16 if use_text else 64,
+            window_size=5, use_fused_encoder=fused, dtype=dt,
+            mfcc_input=audio == "mfcc", use_wav_enc=audio == "wav",
+        )
+        rs = np.random.RandomState(7)
+        x = jnp.asarray(rs.randn(B, J, F, T), jnp.float32)
+        cond = {"seed": jnp.asarray(rs.randn(B, J, F, S), jnp.float32)}
+        if audio == "mfcc":
+            cond["mfcc"] = jnp.asarray(rs.randn(B, A, 1, T), jnp.float32)
+        else:
+            cond["audio"] = jnp.asarray(rs.randn(B, 1600), jnp.float32)
+        if use_text:
+            cond["text_emb"] = jnp.asarray(rs.randn(B, 512), jnp.float32)
+        t = jnp.asarray([0, 3, 7], jnp.int32)
+        params = model.init(jax.random.PRNGKey(0), x, jnp.zeros((B,),
+                            jnp.int32), cond)
+
+        try:
+            precompute, fast_fn = make_fast_model_fn(model, params,
+                                                     layout=layout)
+        except NotImplementedError:
+            assert audio == "wav", (
+                f"fast path rejected a config it claims to support: "
+                f"text={use_text} audio={audio} fused={fused} "
+                f"dtype={dtype} layout={layout}"
+            )
+            return
+        assert audio == "mfcc", "wav-encoder config must be rejected"
+
+        want = np.asarray(model.apply(params, x, t, cond), np.float32)
+        if layout == "btj":
+            x_in = jnp.asarray(
+                np.asarray(x).reshape(B, J * F, T).transpose(0, 2, 1)
+            )
+        else:
+            x_in = x
+        got = np.asarray(fast_fn(x_in, t, precompute(cond)), np.float32)
+        if layout == "btj":
+            got = got.transpose(0, 2, 1).reshape(B, J, F, T)
+        if dtype == "f32":
+            np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+        else:
+            scale = np.maximum(np.abs(want).max(), 1.0)
+            assert np.max(np.abs(got - want)) / scale < 0.05
+
+    def test_single_seed_pose(self):
+        """seed_poses axis: the smallest seed window still matches."""
+        model = MDM(njoints=J, latent_dim=D, num_layers=1, ff_size=64,
+                    num_heads=4, seed_poses=1, cond_mask_prob=0.1,
+                    mfcc_dim=A, window_size=5)
+        rs = np.random.RandomState(11)
+        x = jnp.asarray(rs.randn(B, J, F, T), jnp.float32)
+        cond = {
+            "mfcc": jnp.asarray(rs.randn(B, A, 1, T), jnp.float32),
+            "seed": jnp.asarray(rs.randn(B, J, F, 1), jnp.float32),
+        }
+        t = jnp.asarray([0, 3, 7], jnp.int32)
+        params = model.init(jax.random.PRNGKey(0), x,
+                            jnp.zeros((B,), jnp.int32), cond)
+        want = model.apply(params, x, t, cond)
+        precompute, fast_fn = make_fast_model_fn(model, params)
+        got = fast_fn(x, t, precompute(cond))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-4, atol=2e-5)
