@@ -81,7 +81,10 @@ def p_sample(
         denoised_fn=denoised_fn,
         inpaint=inpaint,
     )
-    noise = jax.random.normal(rng, x.shape, x.dtype)
+    # noise stays f32 regardless of the carry dtype: it is generated and
+    # consumed inside the fused update (no HBM round-trip), and a bf16
+    # draw would be a DIFFERENT sample stream, not a rounded one
+    noise = jax.random.normal(rng, x.shape, jnp.float32)
     if const_noise:
         noise = jnp.broadcast_to(noise[:1], noise.shape)
     if cond_fn is not None:
@@ -107,14 +110,25 @@ def p_sample_loop(
     init_image: Optional[jax.Array] = None,
     const_noise: bool = False,
     return_intermediates: bool = False,
+    carry_dtype: Optional[Any] = None,
 ) -> jax.Array:
     """Full ancestral sampling chain as one scan.
 
     Returns the final sample, or (final, all_intermediates) when
     ``return_intermediates`` (the vectorized equivalent of the reference's
     ``dump_steps``).
+
+    ``carry_dtype=jnp.bfloat16`` stores the x_t chain state in bf16 while
+    every update stays f32 (the schedule coefficients are f32, so the
+    posterior-mean/noise arithmetic promotes; only the carried state and
+    the per-step gaussian draw round) — halves the sampler-state HBM
+    traffic per step.  Samples are distributionally equivalent, not
+    bitwise (tests/test_bf16_carry.py); the final output returns in f32.
+    Default None keeps the exact-f32 chain.
     """
     x, num_steps = _init_sample(diffusion, shape, rng, noise, skip_timesteps, init_image)
+    if carry_dtype is not None:
+        x = x.astype(carry_dtype)
 
     def body(carry, i):
         t = jnp.full((shape[0],), i, jnp.int32)
@@ -132,11 +146,15 @@ def p_sample_loop(
             inpaint=inpaint,
             const_noise=const_noise,
         )
-        y = out["sample"] if return_intermediates else None
-        return out["sample"], y
+        sample = out["sample"]
+        if carry_dtype is not None:
+            sample = sample.astype(carry_dtype)
+        y = sample if return_intermediates else None
+        return sample, y
 
     indices = jnp.arange(num_steps - 1, -1, -1)
     final, ys = jax.lax.scan(body, x, indices)
+    final = final.astype(jnp.float32)
     if return_intermediates:
         return final, ys
     return final

@@ -75,24 +75,38 @@ def make_fast_model_fn(
     D = model.latent_dim
     A = model.audio_feat_dim
 
-    # ---- composed glue weights (f32 composition, then compute dtype) -- #
-    w_in = P["input_process"]["kernel"].astype(jnp.float32)    # [J*F, D]
-    b_in = P["input_process"]["bias"].astype(jnp.float32)
-    w_proj = P["project_to_lat"]["kernel"].astype(jnp.float32)  # [D+A+D, D]
-    b_proj = P["project_to_lat"]["bias"].astype(jnp.float32)
-    w_pose = (w_in @ w_proj[:D]).astype(dt)                     # [J*F, D]
-    b_glue = (b_in @ w_proj[:D] + b_proj).astype(jnp.float32)   # [D]
-    w_audio = w_proj[D : D + A].astype(dt)                      # [A, D]
-    w_coa = w_proj[D + A :].astype(dt)                          # [D, D]
+    # ---- composed glue weights (f32 composition, then compute dtype),
+    # computed in ONE jitted call: eager per-op dispatch is a round-trip
+    # storm through tunneled TPU backends ---------------------------- #
+    def _compose(Pp):
+        w_in = Pp["input_process"]["kernel"].astype(jnp.float32)  # [J*F, D]
+        b_in = Pp["input_process"]["bias"].astype(jnp.float32)
+        w_proj = Pp["project_to_lat"]["kernel"].astype(jnp.float32)
+        b_proj = Pp["project_to_lat"]["bias"].astype(jnp.float32)
+        out = {
+            "w_pose": (w_in @ w_proj[:D]).astype(dt),            # [J*F, D]
+            "b_glue": (b_in @ w_proj[:D] + b_proj).astype(jnp.float32),
+            "w_audio": w_proj[D : D + A].astype(dt),             # [A, D]
+            "w_coa": w_proj[D + A :].astype(dt),                 # [D, D]
+            "w_seed": Pp["seed_pose_encoder"]["seed_embed"]["kernel"]
+            .astype(dt),
+            "b_seed": Pp["seed_pose_encoder"]["seed_embed"]["bias"]
+            .astype(dt),
+            "w_out": Pp["output_process"]["kernel"].astype(dt),  # [D, J*F]
+            "b_out": Pp["output_process"]["bias"].astype(dt),
+        }
+        if model.use_text:
+            out["w_text"] = Pp["embed_text"]["kernel"].astype(dt)
+            out["b_text"] = Pp["embed_text"]["bias"].astype(dt)
+        return out
 
-    w_seed = P["seed_pose_encoder"]["seed_embed"]["kernel"].astype(dt)
-    b_seed = P["seed_pose_encoder"]["seed_embed"]["bias"].astype(dt)
+    W = jax.jit(_compose)(P)
+    w_pose, b_glue = W["w_pose"], W["b_glue"]
+    w_audio, w_coa = W["w_audio"], W["w_coa"]
+    w_seed, b_seed = W["w_seed"], W["b_seed"]
+    w_out, b_out = W["w_out"], W["b_out"]
     if model.use_text:
-        w_text = P["embed_text"]["kernel"].astype(dt)
-        b_text = P["embed_text"]["bias"].astype(dt)
-
-    w_out = P["output_process"]["kernel"].astype(dt)            # [D, J*F]
-    b_out = P["output_process"]["bias"].astype(dt)
+        w_text, b_text = W["w_text"], W["b_text"]
 
     temb = TimestepEmbedder(D)
     temb_params = {"params": P["embed_timestep"]}

@@ -21,18 +21,27 @@ import jax.numpy as jnp
 import numpy as np
 
 
+@jax.jit
+def _max_abs_diff(got, want):
+    return jnp.abs(got.astype(jnp.float32) - want.astype(jnp.float32)).max()
+
+
 def check(name, got, want, atol):
-    diff = float(jnp.abs(got - want).max())
+    # the diff reduction runs under jit: through the tunneled backend,
+    # every EAGER op dispatch costs a slow round-trip (and eager-array
+    # readback can hang) — only jit outputs are read back
+    diff = float(_max_abs_diff(got, want))
     ok = diff <= atol
     print(f"{'OK ' if ok else 'FAIL'} {name}: max|diff|={diff:.2e} "
           f"(atol {atol:.0e})")
     return ok
 
 
-def main():
-    if jax.default_backend() != "tpu":
-        print("ERROR: no TPU backend — this check must run on the chip")
-        return 1
+def run_parity_checks() -> bool:
+    """Compile the four production kernels on the current (TPU) backend
+    and verify Mosaic-vs-XLA parity; returns True when all pass.
+    Called by bench.py before reporting any throughput number, so a
+    stale kernel can never ship silently fast-and-wrong."""
     from gesturediffusion_tpu.models.transformer import (
         TransformerEncoderLayer,
     )
@@ -70,22 +79,29 @@ def main():
     layer = TransformerEncoderLayer(
         d_model=D, num_heads=H, dim_feedforward=F, dropout=0.0
     )
-    params = layer.init(jax.random.PRNGKey(0), x)["params"]
+    params = jax.jit(layer.init)(jax.random.PRNGKey(0), x)["params"]
     p = params
+    def run_fused_layer(a, pp, block_b):
+        # jitted wrapper: no eager pallas dispatch through the tunnel
+        return fused_encoder_layer(
+            a,
+            pp["self_attn"]["in_proj"]["kernel"],
+            pp["self_attn"]["in_proj"]["bias"],
+            pp["self_attn"]["out_proj"]["kernel"],
+            pp["self_attn"]["out_proj"]["bias"],
+            pp["norm1"]["scale"], pp["norm1"]["bias"],
+            pp["linear1"]["kernel"], pp["linear1"]["bias"],
+            pp["linear2"]["kernel"], pp["linear2"]["bias"],
+            pp["norm2"]["scale"], pp["norm2"]["bias"],
+            num_heads=H, block_b=block_b,
+        )
+
+    jit_fused_layer = jax.jit(run_fused_layer, static_argnums=2)
+
     want = jax.jit(
         lambda a: layer.apply({"params": params}, a, deterministic=True)
     )(x)
-    got = fused_encoder_layer(
-        x,
-        p["self_attn"]["in_proj"]["kernel"], p["self_attn"]["in_proj"]["bias"],
-        p["self_attn"]["out_proj"]["kernel"],
-        p["self_attn"]["out_proj"]["bias"],
-        p["norm1"]["scale"], p["norm1"]["bias"],
-        p["linear1"]["kernel"], p["linear1"]["bias"],
-        p["linear2"]["kernel"], p["linear2"]["bias"],
-        p["norm2"]["scale"], p["norm2"]["bias"],
-        num_heads=H, block_b=8,
-    )
+    got = jit_fused_layer(x, p, 8)
     ok &= check("fused_encoder_layer (compiled) vs XLA layer [82,81,256]",
                 got, want, atol=1e-2)
 
@@ -95,22 +111,12 @@ def main():
     layer = TransformerEncoderLayer(
         d_model=D, num_heads=H, dim_feedforward=F, dropout=0.0
     )
-    params = layer.init(jax.random.PRNGKey(0), x)["params"]
+    params = jax.jit(layer.init)(jax.random.PRNGKey(0), x)["params"]
     p = params
     want = jax.jit(
         lambda a: layer.apply({"params": params}, a, deterministic=True)
     )(x)
-    got = fused_encoder_layer(
-        x,
-        p["self_attn"]["in_proj"]["kernel"], p["self_attn"]["in_proj"]["bias"],
-        p["self_attn"]["out_proj"]["kernel"],
-        p["self_attn"]["out_proj"]["bias"],
-        p["norm1"]["scale"], p["norm1"]["bias"],
-        p["linear1"]["kernel"], p["linear1"]["bias"],
-        p["linear2"]["kernel"], p["linear2"]["bias"],
-        p["norm2"]["scale"], p["norm2"]["bias"],
-        num_heads=H, block_b=4,
-    )
+    got = jit_fused_layer(x, p, 4)
     ok &= check("fused_encoder_layer (compiled) vs XLA layer [64,197,512]",
                 got, want, atol=1e-2)
 
@@ -129,30 +135,49 @@ def main():
     B, T, D, H = 82, 80, 256, 8
     x32 = jnp.asarray(rs.randn(B, T, D) * 0.5, jnp.float32)
     c32 = jnp.asarray(rs.randn(B, D) * 0.5, jnp.float32)
+    jit_block = jax.jit(
+        lambda a, c: fused_local_block(a, c, num_heads=H, window=10)
+    )
     truth = jax.jit(
         lambda a, c: xla_reference(a, c, H, 10, dtype=jnp.float32)
     )(x32, c32)
-    got32 = fused_local_block(x32, c32, num_heads=H, window=10)
+    got32 = jit_block(x32, c32)
     ok &= check("fused_local_block f32 (compiled) vs XLA block",
                 got32, truth, atol=3e-2)
 
-    xb, cb = x32.astype(jnp.bfloat16), c32.astype(jnp.bfloat16)
+    mean_abs_diff = jax.jit(
+        lambda a, b: jnp.abs(
+            a.astype(jnp.float32) - b.astype(jnp.float32)
+        ).mean()
+    )
+    as_bf16 = lambda a: a.astype(jnp.bfloat16)  # noqa: E731
     xla_bf16 = jax.jit(
-        lambda a, c: xla_reference(a, c, H, 10, dtype=jnp.bfloat16)
-    )(xb, cb).astype(jnp.float32)
-    ker_bf16 = fused_local_block(
-        xb, cb, num_heads=H, window=10
-    ).astype(jnp.float32)
-    err_xla = float(jnp.abs(xla_bf16 - truth).mean())
-    err_ker = float(jnp.abs(ker_bf16 - truth).mean())
+        lambda a, c: xla_reference(
+            as_bf16(a), as_bf16(c), H, 10, dtype=jnp.bfloat16
+        )
+    )(x32, c32)
+    ker_bf16 = jax.jit(
+        lambda a, c: fused_local_block(
+            as_bf16(a), as_bf16(c), num_heads=H, window=10
+        )
+    )(x32, c32)
+    err_xla = float(mean_abs_diff(xla_bf16, truth))
+    err_ker = float(mean_abs_diff(ker_bf16, truth))
     bf16_ok = err_ker <= err_xla * 1.5 + 1e-4
     print(f"{'OK ' if bf16_ok else 'FAIL'} fused_local_block bf16 "
           f"accuracy vs f32 truth: kernel {err_ker:.2e} <= "
           f"1.5x XLA-bf16 {err_xla:.2e}")
     ok &= bf16_ok
 
-    print("ALL OK" if ok else "FAILURES")
-    return 0 if ok else 1
+    print("kernel parity: ALL OK" if ok else "kernel parity: FAILURES")
+    return ok
+
+
+def main():
+    if jax.default_backend() != "tpu":
+        print("ERROR: no TPU backend — this check must run on the chip")
+        return 1
+    return 0 if run_parity_checks() else 1
 
 
 if __name__ == "__main__":
