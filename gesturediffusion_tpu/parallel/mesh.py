@@ -39,6 +39,31 @@ def make_mesh(
     return Mesh(arr, ("data", "model"))
 
 
+def make_data_mesh_for_batch(batch_size: int, model: int = 1) -> Mesh:
+    """All-devices (data, model) mesh, clamped so the batch divides the
+    data axis.
+
+    A smoke run (batch 4) on an 8-device host must not crash on the
+    batch-axis sharding; use the largest divisor of the batch that fits
+    the available data-parallel width and leave the rest of the devices
+    idle, loudly."""
+    import math
+
+    devices = jax.devices()
+    n = len(devices)
+    assert n % model == 0, f"model axis {model} does not divide {n} devices"
+    dp = math.gcd(batch_size, n // model)
+    if dp * model != n:
+        print(
+            f"[mesh] batch_size {batch_size} is not divisible by the "
+            f"available data-parallel width {n // model} ({n} devices / "
+            f"model axis {model}) — using a {dp}x{model} mesh "
+            f"({n - dp * model} devices idle). Pick a batch divisible "
+            f"by {n // model} to use the whole slice."
+        )
+    return make_mesh(devices[: dp * model], data=dp, model=model)
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Shard the leading (batch) axis over 'data'."""
     return NamedSharding(mesh, P("data"))

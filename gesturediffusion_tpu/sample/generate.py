@@ -169,9 +169,9 @@ def main(argv=None):
     if jax.device_count() > 1:
         from gesturediffusion_tpu.parallel import mesh as mesh_lib
 
-        mesh = mesh_lib.make_mesh()
+        mesh = mesh_lib.make_data_mesh_for_batch(n_takes)
         dp = mesh.shape["data"]
-        if n_takes % dp == 0:
+        if dp > 1:
             cc_sh = mesh_lib.axis1_batch_sharding(mesh)
             stacked_conds = {
                 k: jax.device_put(v, cc_sh)
@@ -183,8 +183,8 @@ def main(argv=None):
             log_lib.log(f"sampling data-parallel over {dp} devices")
         else:
             log_lib.log(
-                f"n_takes={n_takes} not divisible by data axis {dp} — "
-                "sampling unsharded"
+                f"n_takes={n_takes} shares no factor with the device "
+                "count — sampling unsharded"
             )
 
     log_lib.log(

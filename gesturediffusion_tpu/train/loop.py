@@ -306,7 +306,11 @@ class TrainLoop:
         self.data = data
         self.platform = platform or TrainPlatform(config.save_dir)
         self.text_encoder = text_encoder
-        self.mesh = mesh if mesh is not None else mesh_lib.make_mesh()
+        self.mesh = (
+            mesh
+            if mesh is not None
+            else mesh_lib.make_data_mesh_for_batch(config.batch_size)
+        )
         self.rng = jax.random.PRNGKey(config.seed)
         self.logger = log_lib.configure(config.save_dir)
         # optional in-training eval hook, called after each checkpoint save

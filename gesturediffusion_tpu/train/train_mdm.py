@@ -222,7 +222,9 @@ def main(argv=None):
         except Exception as e:  # val split may not exist
             log_lib.log(f"eval_during_training disabled: {e}")
 
-    mesh = mesh_lib.make_mesh(model=args.mesh_model_axis)
+    mesh = mesh_lib.make_data_mesh_for_batch(
+        args.batch_size, model=args.mesh_model_axis
+    )
     loop = TrainLoop(
         config,
         diffusion,

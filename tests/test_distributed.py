@@ -151,3 +151,24 @@ class TestShardedSampling:
         seed_sh = jax.device_put(seed0, bsh)
         got = np.asarray(jax.jit(sample)(cc_sh, seed_sh))
         np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+class TestMeshClamp:
+    """A smoke-size batch on a many-device host must not crash the default
+    data mesh (regression: train CLI with batch 4 under 8 virtual devices
+    raised on the batch-axis device_put)."""
+
+    def test_indivisible_batch_clamps_data_axis(self):
+        mesh = mesh_lib.make_data_mesh_for_batch(4)
+        assert mesh.shape["data"] == 4
+        batch = jnp.zeros((4, 3, 1, 8))
+        out = mesh_lib.shard_batch(mesh, batch)
+        assert out.shape == batch.shape
+
+    def test_divisible_batch_uses_all_devices(self):
+        mesh = mesh_lib.make_data_mesh_for_batch(32)
+        assert mesh.shape["data"] == jax.device_count()
+
+    def test_coprime_batch_falls_back_to_single_device(self):
+        mesh = mesh_lib.make_data_mesh_for_batch(7)
+        assert mesh.shape["data"] == 1
