@@ -37,6 +37,12 @@ point reproducible to ~0.1% across runs):
   take-sets 1 (41 takes, CFG 82):  47.32 chunks/s/chip = 4.746x
   take-sets 2 (82 takes, CFG 164): 47.60 chunks/s/chip = 4.774x
   take-sets 4 (164 takes, CFG 328): 51.99 chunks/s/chip = 5.214x
+After the pad-once encoder stacking (TransformerEncoder pads to the
+tile/block layout once around the 8-layer loop instead of per layer,
+killing the per-step pad+slice round-trips the profiler trace billed at
+~0.017 ms/step — see PROFILE.md):
+  take-sets 1: 48.52 chunks/s/chip = 4.866x
+  take-sets 4: 52.86 chunks/s/chip = 5.301x  (headline)
 This RESOLVES the round-2 note contradiction ("2-4 take-sets +1-2%" vs
 "52.0 at batch 328"): +1-2% was true only of the 2-set point (+0.6%
 here); the 4-set point is +10% and is the serving peak.  bf16 sampler-

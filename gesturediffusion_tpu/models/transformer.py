@@ -170,6 +170,9 @@ class FusedTransformerEncoderLayer(nn.Module):
     dropout: float = 0.1        # accepted for ctor parity; must be unused
     activation: str = "gelu"
     block_b: Optional[int] = None  # None = auto (largest VMEM-fitting block)
+    # padded-I/O stacking (input pre-padded by TransformerEncoder; output
+    # stays padded — see ops/pallas_encoder.py fused_encoder_layer t_real)
+    t_real: Optional[int] = None
     dtype: Any = None
 
     @nn.compact
@@ -208,6 +211,7 @@ class FusedTransformerEncoderLayer(nn.Module):
         return fused_encoder_layer(
             x, wqkv, bqkv, wo, bo, s1, bn1, w1, b1, w2, b2, s2, bn2,
             num_heads=self.num_heads, block_b=self.block_b,
+            t_real=self.t_real,
             # CPU (tests) runs the kernel in interpret mode
             interpret=jax.default_backend() != "tpu",
         )
@@ -244,6 +248,23 @@ class TransformerEncoder(nn.Module):
             if self.use_fused_layer
             else {"use_fused_kernel": self.use_fused_kernel}
         )
+        # Fused stacking: pad to the tile/block layout ONCE around the
+        # whole layer loop instead of per layer (the per-layer pad+slice
+        # round-trips measured ~2% of gesture sampling step time).  The
+        # layers then run padded-I/O with the real length masked inside
+        # the kernel; real-row outputs are bitwise identical.
+        pad_once = self.use_fused_layer and mask is None and deterministic
+        b = t = 0
+        if pad_once:
+            from gesturediffusion_tpu.ops.pallas_encoder import (
+                _auto_block_b,
+            )
+
+            b, t, _ = x.shape
+            tp = t + (-t % 8)
+            bb = _auto_block_b(b, tp, self.dim_feedforward)
+            x = jnp.pad(x, ((0, -b % bb), (0, tp - t), (0, 0)))
+            kw = {"block_b": bb, "t_real": t}
         for i in range(self.num_layers):
             x = layer_cls(
                 d_model=self.d_model,
@@ -255,4 +276,6 @@ class TransformerEncoder(nn.Module):
                 name=f"layer_{i}",
                 **kw,
             )(x, mask=mask, deterministic=deterministic)
+        if pad_once:
+            x = x[:b, :t]
         return x

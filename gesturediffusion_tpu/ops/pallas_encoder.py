@@ -146,7 +146,7 @@ def _encoder_layer_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("num_heads", "block_b", "interpret"),
+    static_argnames=("num_heads", "block_b", "interpret", "t_real"),
 )
 def fused_encoder_layer(
     x: jax.Array,
@@ -160,6 +160,7 @@ def fused_encoder_layer(
     num_heads: int,
     block_b: int | None = None,
     interpret: bool = False,
+    t_real: int | None = None,
 ) -> jax.Array:
     """One post-LN encoder layer, fused.  x: [B, T, D] -> [B, T, D].
 
@@ -168,10 +169,60 @@ def fused_encoder_layer(
     (wqkv [D, 3D], wo [D, D], w1 [D, F], w2 [F, D]; LN scale/bias [D]).
 
     block_b=None auto-selects the largest VMEM-fitting batch block.
+
+    ``t_real`` opts into PADDED I/O for layer stacking: the input is
+    already tile-aligned ([B, T, D] with T % 8 == 0, B % block_b == 0,
+    only the first ``t_real`` time rows meaningful) and the output stays
+    padded — no per-layer pad/slice round-trips.  Padded-region rows
+    carry finite garbage between layers but can never leak into real
+    rows: attention masks keys at positions >= t_real, and every other
+    op is row-local.  The caller (TransformerEncoder) pads once before
+    layer 0 and slices once after the last layer.
     """
     b, t, d = x.shape
     f = w1.shape[1]
     assert d % num_heads == 0
+
+    if t_real is not None:
+        # pre-padded stacking path
+        assert t % 8 == 0 and block_b is not None and b % block_b == 0
+        out = pl.pallas_call(
+            functools.partial(
+                _encoder_layer_kernel, num_heads=num_heads, t_real=t_real
+            ),
+            out_shape=jax.ShapeDtypeStruct((b, t, d), x.dtype),
+            grid=(b // block_b,),
+            in_specs=[
+                pl.BlockSpec((block_b, t, d), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((d, 3 * d), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((3 * d,), lambda i: (0,),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((d, d), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((d,), lambda i: (0,), memory_space=pltpu.VMEM),
+                pl.BlockSpec((d,), lambda i: (0,), memory_space=pltpu.VMEM),
+                pl.BlockSpec((d,), lambda i: (0,), memory_space=pltpu.VMEM),
+                pl.BlockSpec((d, f), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((f,), lambda i: (0,), memory_space=pltpu.VMEM),
+                pl.BlockSpec((f, d), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((d,), lambda i: (0,), memory_space=pltpu.VMEM),
+                pl.BlockSpec((d,), lambda i: (0,), memory_space=pltpu.VMEM),
+                pl.BlockSpec((d,), lambda i: (0,), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (block_b, t, d), lambda i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            interpret=interpret,
+        )(
+            x, wqkv, bqkv, wo, bo, ln1_scale, ln1_bias,
+            w1, b1, w2, b2, ln2_scale, ln2_bias,
+        )
+        return out
 
     if block_b is None:
         block_b = _auto_block_b(b, t + (-t % 8), f)

@@ -89,6 +89,24 @@ class TestFusedEncoderLayerKernel:
             np.asarray(got), np.asarray(want), atol=1e-4
         )
 
+    def test_fused_stack_pads_once_unaligned_shapes(self):
+        """The padded-I/O stacking path (pad once around the layer loop,
+        T % 8 != 0 and B % block_b != 0) must match the unfused stack —
+        garbage in the padded region may never leak into real rows."""
+        rs = np.random.RandomState(7)
+        x = jnp.asarray(rs.randn(5, 13, 64), jnp.float32)
+        kw = dict(num_layers=3, d_model=64, num_heads=4, dim_feedforward=96)
+        enc = TransformerEncoder(**kw)
+        params = enc.init(jax.random.PRNGKey(0), x)
+        want = enc.apply(params, x, deterministic=True)
+        got = TransformerEncoder(**kw, use_fused_layer=True).apply(
+            params, x, deterministic=True
+        )
+        assert got.shape == want.shape
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=1e-4
+        )
+
     def test_auto_block_b_known_shapes(self):
         """The VMEM-fit rule must reproduce the measured-good blocks:
         gesture [82,82,256]/ff1024 -> 22, t2m [64,198,512]/ff1024 -> 8."""
