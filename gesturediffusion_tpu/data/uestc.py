@@ -117,13 +117,13 @@ class UESTC(A2MDataset):
             self._read_info_lines("action_classes.txt")
         )
         self.records = [VideoRecord.from_name(v) for v in self._videos]
-        self.info_actions = [r._asdict() for r in self.records]
+        self.video_info = [r._asdict() for r in self.records]
         self._actions = [r.action for r in self.records]
 
         self.num_actions = self.num_classes = _NUM_ACTIONS
         self._action_to_label = {a: a for a in range(_NUM_ACTIONS)}
         self._label_to_action = {a: a for a in range(_NUM_ACTIONS)}
-        self._tr_subjects = TRAIN_SUBJECTS
+        self._train_subjects = TRAIN_SUBJECTS
         self._test_subjects = sorted(
             set(range(1, _NUM_SUBJECTS + 1)) - set(TRAIN_SUBJECTS)
         )
@@ -171,7 +171,7 @@ class UESTC(A2MDataset):
         shared pose/joints/globtrans payload), translate joints into
         global space, and bucket each video by its subject's split."""
         train, test = [], []
-        train_subjects = set(self._tr_subjects)
+        train_subjects = set(self._train_subjects)
         for index, rec in enumerate(self.records):
             if rec.side != 1:
                 if self.view == "frontview" or rec.view == 8:

@@ -253,6 +253,15 @@ class TransformerEncoder(nn.Module):
         # round-trips measured ~2% of gesture sampling step time).  The
         # layers then run padded-I/O with the real length masked inside
         # the kernel; real-row outputs are bitwise identical.
+        #
+        # Side effect (measured on v5e): with no relayout op between the
+        # back-to-back pallas calls, XLA forwards the inter-layer
+        # activation through scoped VMEM — free bandwidth when it fits,
+        # but a compile-time scoped-VMEM OOM when it does not (the
+        # default scoped limit is 16 MB and XLA's accounting runs a bit
+        # above the raw tensor size).  Gate the path on the padded
+        # activation size; larger shapes keep the per-layer pad/slice,
+        # which forces the activation through HBM exactly as before.
         pad_once = self.use_fused_layer and mask is None and deterministic
         b = t = 0
         if pad_once:
@@ -260,11 +269,16 @@ class TransformerEncoder(nn.Module):
                 _auto_block_b,
             )
 
-            b, t, _ = x.shape
+            b, t, d = x.shape
             tp = t + (-t % 8)
             bb = _auto_block_b(b, tp, self.dim_feedforward)
-            x = jnp.pad(x, ((0, -b % bb), (0, tp - t), (0, 0)))
-            kw = {"block_b": bb, "t_real": t}
+            bp = b + (-b % bb)
+            itemsize = jnp.dtype(self.dtype or x.dtype).itemsize
+            if bp * tp * d * itemsize <= 15 << 20:
+                x = jnp.pad(x, ((0, bp - b), (0, tp - t), (0, 0)))
+                kw = {"block_b": bb, "t_real": t}
+            else:
+                pad_once = False
         for i in range(self.num_layers):
             x = layer_cls(
                 d_model=self.d_model,

@@ -46,8 +46,8 @@ class TestUESTCLoader:
 
     def test_subject_split_is_disjoint(self, uestc_root):
         ds = UESTC(uestc_root, num_frames=60, split="train")
-        train_subj = {ds.info_actions[i]["subject"] for i in ds._train}
-        test_subj = {ds.info_actions[i]["subject"] for i in ds._test}
+        train_subj = {ds.video_info[i]["subject"] for i in ds._train}
+        test_subj = {ds.video_info[i]["subject"] for i in ds._test}
         assert train_subj.issubset(set(TRAIN_SUBJECTS))
         assert not (test_subj & set(TRAIN_SUBJECTS))
 
@@ -64,7 +64,7 @@ class TestUESTCLoader:
             return np.linalg.norm(x[None] - x[:, None], axis=-1)
 
         checked_rotated = False
-        for idx, info in enumerate(ds.info_actions):
+        for idx, info in enumerate(ds.video_info):
             a = np.asarray(ds._joints[idx][0])
             b = np.asarray(raw["joints3d"][idx][0])
             np.testing.assert_allclose(pdist(a), pdist(b), atol=1e-4)
