@@ -43,10 +43,11 @@ killing the per-step pad+slice round-trips the profiler trace billed at
 ~0.017 ms/step — see PROFILE.md):
   take-sets 1: 48.52 chunks/s/chip = 4.866x
   take-sets 4: 52.86 chunks/s/chip = 5.301x  (headline)
-8 take-sets is past the chip's envelope (do not re-try): the pad-once
-stack's VMEM activation forwarding cannot fit ([660,88,256]bf16 ~= 30 MB
-vs the 16 MB scoped limit; the size gate routes it to the per-layer HBM
-path automatically), and even on that path the program dies with a TPU
+6 and 8 take-sets are past the chip's envelope (both measured; do not
+re-try): the pad-once stack's VMEM activation forwarding cannot fit
+(6-set [492,88,256]bf16 ~= 22 MB, 8-set ~= 30 MB vs the 16 MB scoped
+limit; the size gate routes both to the per-layer HBM path
+automatically), and even on that path the program dies with a TPU
 device error at runtime — the serving peak is 4 sets.
 This RESOLVES the round-2 note contradiction ("2-4 take-sets +1-2%" vs
 "52.0 at batch 328"): +1-2% was true only of the 2-set point (+0.6%
