@@ -1,0 +1,226 @@
+"""Streaming serving session (serve/streaming.py).
+
+The core contract: feeding per-chunk conditioning incrementally must
+reproduce the batch path (`autoregressive_sample_loop`, one device
+program over all chunks) — same per-chunk rng fold, same seed hand-off.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gesturediffusion_tpu.diffusion import ModelMeanType, create_diffusion
+from gesturediffusion_tpu.diffusion.sampling import (
+    autoregressive_sample_loop,
+)
+from gesturediffusion_tpu.models.mdm import MDM
+from gesturediffusion_tpu.models.mdm_fastpath import (
+    select_sampling_model_fn,
+)
+from gesturediffusion_tpu.serve import StreamingGestureSession
+
+B, J, T, S, A, D, C = 2, 24, 16, 4, 8, 32, 3
+STEPS = 8
+GUIDANCE = 2.5
+
+
+def _build():
+    model = MDM(
+        njoints=J, latent_dim=D, num_layers=2, ff_size=64, num_heads=4,
+        seed_poses=S, cond_mask_prob=0.1, mfcc_dim=A, window_size=5,
+    )
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.randn(B, J, 1, T), jnp.float32)
+    cond = {
+        "mfcc": jnp.asarray(rs.randn(B, A, 1, T), jnp.float32),
+        "seed": jnp.asarray(rs.randn(B, J, 1, S), jnp.float32),
+    }
+    params = model.init(
+        jax.random.PRNGKey(0), x, jnp.zeros((B,), jnp.int32), cond
+    )
+    chunk_mfcc = np.asarray(
+        np.random.RandomState(1).randn(C, B, A, 1, T), np.float32
+    )
+    return model, params, cond["seed"], chunk_mfcc
+
+
+def _batch_path(model, params, seed0, chunk_mfcc, rng_seed=0):
+    diffusion = create_diffusion(
+        steps=STEPS, model_mean_type=ModelMeanType.START_X
+    )
+    precompute, model_fn = select_sampling_model_fn(
+        model, params, GUIDANCE, 0.1
+    )
+    chunk_conds = {
+        "mfcc": jnp.asarray(chunk_mfcc),
+        "scale": jnp.full((C, B), GUIDANCE, jnp.float32),
+    }
+    return np.asarray(
+        autoregressive_sample_loop(
+            diffusion, model_fn, (B, J, 1, T),
+            jax.random.PRNGKey(rng_seed), chunk_conds, seed0, S,
+            cond_precompute=precompute,
+        )
+    )
+
+
+class TestStreamingEquivalence:
+    def test_incremental_matches_batch_path(self):
+        model, params, seed0, chunk_mfcc = _build()
+        want = _batch_path(model, params, seed0, chunk_mfcc)
+
+        session = StreamingGestureSession(
+            model, params, guidance_param=GUIDANCE, streams=B,
+            chunk_frames=T, seed_poses=S, diffusion_steps=STEPS,
+        )
+        session.start(seed0, rng=0)
+        got = np.stack(
+            [session.feed({"mfcc": chunk_mfcc[k]}) for k in range(C)]
+        )
+        # XLA compiles the scan body and the standalone chunk program
+        # with different fusion choices, so bitwise equality is not
+        # expected — but a wrong rng fold or seed hand-off would diverge
+        # at O(1), far past this tolerance
+        np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
+
+    def test_rng_and_seed_carry_matter(self):
+        # different session rng => different chunks; restarting with the
+        # same rng reproduces chunk 0 exactly
+        model, params, seed0, chunk_mfcc = _build()
+        session = StreamingGestureSession(
+            model, params, guidance_param=GUIDANCE, streams=B,
+            chunk_frames=T, seed_poses=S, diffusion_steps=STEPS,
+        )
+        session.start(seed0, rng=0)
+        first = session.feed({"mfcc": chunk_mfcc[0]})
+        second = session.feed({"mfcc": chunk_mfcc[0]})
+        assert not np.allclose(first, second)  # k folds into the rng
+
+        session.start(seed0, rng=1)
+        other_rng = session.feed({"mfcc": chunk_mfcc[0]})
+        assert not np.allclose(first, other_rng)
+
+        session.start(seed0, rng=0)
+        np.testing.assert_array_equal(
+            session.feed({"mfcc": chunk_mfcc[0]}), first
+        )
+
+    def test_feed_before_start_raises(self):
+        model, params, _, chunk_mfcc = _build()
+        session = StreamingGestureSession(
+            model, params, streams=B, chunk_frames=T, seed_poses=S,
+            diffusion_steps=STEPS,
+        )
+        with pytest.raises(RuntimeError, match="start"):
+            session.feed({"mfcc": chunk_mfcc[0]})
+
+    def test_bad_seed_shape_rejected(self):
+        model, params, seed0, _ = _build()
+        session = StreamingGestureSession(
+            model, params, streams=B, chunk_frames=T, seed_poses=S,
+            diffusion_steps=STEPS,
+        )
+        with pytest.raises(ValueError, match="init_seed shape"):
+            session.start(np.zeros((B, J, 1, S + 1), np.float32))
+
+
+class TestRespacedAndSamplers:
+    @pytest.mark.parametrize("sampler", ["ddpm", "ddim", "plms"])
+    def test_respaced_sampler_runs(self, sampler):
+        model, params, seed0, chunk_mfcc = _build()
+        session = StreamingGestureSession(
+            model, params, guidance_param=GUIDANCE, sampler=sampler,
+            sample_steps=4, streams=B, chunk_frames=T, seed_poses=S,
+            diffusion_steps=STEPS,
+        )
+        session.start(seed0, rng=0)
+        out = session.feed({"mfcc": chunk_mfcc[0]})
+        assert out.shape == (B, J, 1, T)
+        assert np.isfinite(out).all()
+
+    def test_diffusion_and_sample_steps_conflict(self):
+        model, params, _, _ = _build()
+        diffusion = create_diffusion(
+            steps=STEPS, model_mean_type=ModelMeanType.START_X
+        )
+        with pytest.raises(ValueError, match="not both"):
+            StreamingGestureSession(
+                model, params, diffusion=diffusion, sample_steps=4,
+                streams=B, chunk_frames=T, seed_poses=S,
+            )
+
+
+class TestAudioFrontEnd:
+    def test_feed_audio_matches_manual_mfcc(self):
+        from gesturediffusion_tpu.ops.mfcc import mfcc_for_window
+
+        _, _, seed0, _ = _build()
+        model_a = MDM(
+            njoints=J, latent_dim=D, num_layers=2, ff_size=64, num_heads=4,
+            seed_poses=S, cond_mask_prob=0.1, mfcc_dim=26, window_size=5,
+        )
+        rs = np.random.RandomState(2)
+        sr, fps = 8000, 30.0
+        wav = rs.randn(int(sr * T / fps)).astype(np.float32)
+        cond = {
+            "mfcc": jnp.asarray(rs.randn(B, 26, 1, T), jnp.float32),
+            "seed": seed0,
+        }
+        x = jnp.asarray(rs.randn(B, J, 1, T), jnp.float32)
+        params_a = model_a.init(
+            jax.random.PRNGKey(0), x, jnp.zeros((B,), jnp.int32), cond
+        )
+        mean = rs.randn(26).astype(np.float32)
+        std = np.abs(rs.randn(26)).astype(np.float32) + 0.5
+
+        def fresh():
+            s = StreamingGestureSession(
+                model_a, params_a, guidance_param=GUIDANCE, streams=B,
+                chunk_frames=T, seed_poses=S, diffusion_steps=STEPS,
+                fps=fps,
+            )
+            s.start(seed0, rng=0)
+            return s
+
+        got = fresh().feed_audio(
+            wav, samplerate=sr, mfcc_mean=mean, mfcc_std=std
+        )
+
+        feats = mfcc_for_window(wav, fps=fps, samplerate=sr)
+        feats = ((feats - mean) / std).astype(np.float32)[:T]
+        mf = np.zeros((B, 26, 1, T), np.float32)
+        mf[:, :, 0, : feats.shape[0]] = feats.T
+        want = fresh().feed({"mfcc": mf})
+        np.testing.assert_array_equal(got, want)
+
+    def test_feed_audio_shape_validation(self):
+        model, params, seed0, _ = _build()
+        session = StreamingGestureSession(
+            model, params, streams=B, chunk_frames=T, seed_poses=S,
+            diffusion_steps=STEPS,
+        )
+        session.start(seed0, rng=0)
+        with pytest.raises(ValueError, match="streams"):
+            session.feed_audio(np.zeros((B + 1, 100), np.float32))
+
+
+class TestStats:
+    def test_latency_accounting(self):
+        model, params, seed0, chunk_mfcc = _build()
+        session = StreamingGestureSession(
+            model, params, guidance_param=GUIDANCE, streams=B,
+            chunk_frames=T, seed_poses=S, diffusion_steps=STEPS, fps=30.0,
+        )
+        session.start(seed0, rng=0)
+        assert session.stats().chunks == 0
+        for k in range(2):
+            session.feed({"mfcc": chunk_mfcc[k]})
+        s = session.stats()
+        assert s.chunks == 2
+        assert s.total_latency_s >= s.worst_latency_s >= s.last_latency_s > 0
+        assert s.motion_seconds_per_chunk == pytest.approx(T / 30.0)
+        assert s.realtime_speedup > 0
+        # stats() returns a copy — mutating it doesn't touch the session
+        s.chunks = 99
+        assert session.stats().chunks == 2
