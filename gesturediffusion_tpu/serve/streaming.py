@@ -85,6 +85,11 @@ class StreamingGestureSession:
 
     ``feed_audio`` accepts a raw mono window instead and runs the
     dataset's MFCC + z-norm front end host-side (ops/mfcc.py).
+
+    Pass ``mesh=`` (a (data, model) mesh from parallel/mesh.py) to shard
+    the streams axis over the mesh's data axis — multi-chip serving with
+    GSPMD sharding the whole denoise loop, same scheme as
+    sample/generate.py's data-parallel sampling.
     """
 
     def __init__(
@@ -105,6 +110,7 @@ class StreamingGestureSession:
         fps: float = 30.0,
         no_fast: bool = False,
         clip_denoised: bool = False,
+        mesh: Optional[Any] = None,
     ):
         if diffusion is not None and sample_steps is not None:
             raise ValueError(
@@ -169,6 +175,20 @@ class StreamingGestureSession:
             return out, out[..., -seed_poses:]
 
         self._chunk_program: Callable = jax.jit(chunk_program)
+        # multi-chip serving: shard the streams axis over the mesh's
+        # 'data' axis — GSPMD shards the whole denoise loop (same scheme
+        # as sample/generate.py's data-parallel sampling)
+        self._batch_sh = None
+        if mesh is not None:
+            from gesturediffusion_tpu.parallel import mesh as mesh_lib
+
+            dp = mesh.shape["data"]
+            if streams % dp != 0:
+                raise ValueError(
+                    f"streams={streams} is not divisible by the mesh's "
+                    f"data axis ({dp})"
+                )
+            self._batch_sh = mesh_lib.batch_sharding(mesh)
         self._seed: Optional[jax.Array] = None
         self._rng: Optional[jax.Array] = None
         self._k = 0
@@ -193,6 +213,8 @@ class StreamingGestureSession:
                 f"init_seed shape {init_seed.shape} != {want} "
                 "(streams, njoints, 1, seed_poses)"
             )
+        if self._batch_sh is not None:
+            init_seed = jax.device_put(init_seed, self._batch_sh)
         self._seed = init_seed
         self._rng = (
             jax.random.PRNGKey(rng) if isinstance(rng, int) else rng
@@ -215,7 +237,13 @@ class StreamingGestureSession:
         if self._seed is None:
             raise RuntimeError("call start() before feed()")
         t0 = time.perf_counter()
-        dc = {k: jnp.asarray(v) for k, v in cond.items()}
+        if self._batch_sh is not None:
+            dc = {
+                k: jax.device_put(np.asarray(v), self._batch_sh)
+                for k, v in cond.items()
+            }
+        else:
+            dc = {k: jnp.asarray(v) for k, v in cond.items()}
         if self._scale is not None and "scale" not in dc:
             dc["scale"] = self._scale
         out, self._seed = self._chunk_program(

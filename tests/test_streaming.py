@@ -125,6 +125,42 @@ class TestStreamingEquivalence:
             session.start(np.zeros((B, J, 1, S + 1), np.float32))
 
 
+class TestShardedServing:
+    def test_mesh_sharded_matches_unsharded(self):
+        from gesturediffusion_tpu.parallel import mesh as mesh_lib
+
+        model, params, _, _ = _build()
+        streams = 4
+        rs = np.random.RandomState(3)
+        seed0 = rs.randn(streams, J, 1, S).astype(np.float32)
+        mfcc = rs.randn(streams, A, 1, T).astype(np.float32)
+
+        def run(mesh):
+            session = StreamingGestureSession(
+                model, params, guidance_param=GUIDANCE, streams=streams,
+                chunk_frames=T, seed_poses=S, diffusion_steps=STEPS,
+                mesh=mesh,
+            )
+            session.start(seed0, rng=0)
+            return session.feed({"mfcc": mfcc})
+
+        want = run(None)
+        mesh = mesh_lib.make_mesh(jax.devices()[:4], data=4)
+        got = run(mesh)
+        np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
+
+    def test_indivisible_streams_rejected(self):
+        from gesturediffusion_tpu.parallel import mesh as mesh_lib
+
+        model, params, _, _ = _build()
+        mesh = mesh_lib.make_mesh(jax.devices()[:4], data=4)
+        with pytest.raises(ValueError, match="data axis"):
+            StreamingGestureSession(
+                model, params, streams=3, chunk_frames=T, seed_poses=S,
+                diffusion_steps=STEPS, mesh=mesh,
+            )
+
+
 class TestRespacedAndSamplers:
     @pytest.mark.parametrize("sampler", ["ddpm", "ddim", "plms"])
     def test_respaced_sampler_runs(self, sampler):
