@@ -405,6 +405,47 @@ def plms_sample_loop(
     return final
 
 
+def ar_chunk_step(
+    diffusion: GaussianDiffusion,
+    model_fn: ModelFn,
+    shape: tuple[int, ...],
+    rng: jax.Array,
+    k: jax.Array,
+    cond_c: Any,
+    seed: jax.Array,
+    seed_poses: int,
+    *,
+    loop: Callable = p_sample_loop,
+    clip_denoised: bool = False,
+    cond_precompute: Optional[Callable] = None,
+    time_axis: int = -1,
+) -> tuple[jax.Array, jax.Array]:
+    """One chunk of the chunked-AR protocol: fold the take RNG by the
+    chunk index, inject the carried seed poses into the conditioning,
+    run one full denoise loop, and hand off the last ``seed_poses``
+    frames for the next chunk (reference: sample/generate.py:91-130,
+    hand-off :104-107).
+
+    This is the SINGLE definition of the per-chunk math — the batch scan
+    (`autoregressive_sample_loop`) and the live serving session
+    (serve/streaming.py) both call it, so the two paths cannot diverge.
+
+    Returns ``(chunk, handoff_seed)``.
+    """
+    tm = time_axis == 1 and len(shape) == 3
+    chunk_rng = jax.random.fold_in(rng, k)
+    cond = dict(cond_c)
+    cond["seed"] = seed
+    if cond_precompute is not None:
+        cond = cond_precompute(cond)
+    out = loop(
+        diffusion, model_fn, shape, chunk_rng, cond,
+        clip_denoised=clip_denoised,
+    )
+    handoff = out[:, -seed_poses:] if tm else out[..., -seed_poses:]
+    return out, handoff
+
+
 def autoregressive_sample_loop(
     diffusion: GaussianDiffusion,
     model_fn: ModelFn,
@@ -455,20 +496,13 @@ def autoregressive_sample_loop(
         )
     if time_axis not in (-1, len(shape) - 1, 1):
         raise ValueError(f"unsupported time_axis {time_axis}")
-    tm = time_axis == 1 and len(shape) == 3
-
     def body(carry, cond_c):
         seed, k = carry
-        chunk_rng = jax.random.fold_in(rng, k)
-        cond = dict(cond_c)
-        cond["seed"] = seed
-        if cond_precompute is not None:
-            cond = cond_precompute(cond)
-        out = loop(
-            diffusion, model_fn, shape, chunk_rng, cond,
-            clip_denoised=clip_denoised,
+        out, handoff = ar_chunk_step(
+            diffusion, model_fn, shape, rng, k, cond_c, seed, seed_poses,
+            loop=loop, clip_denoised=clip_denoised,
+            cond_precompute=cond_precompute, time_axis=time_axis,
         )
-        handoff = out[:, -seed_poses:] if tm else out[..., -seed_poses:]
         return (handoff, k + 1), out
 
     (_, _), outs = jax.lax.scan(

@@ -31,7 +31,9 @@ from gesturediffusion_tpu.eval.networks import (
 from gesturediffusion_tpu.utils import logger as log_lib
 
 
-def _warn_random_classifier(name: str) -> None:
+def _warn_random_classifier(
+    name: str, script: str = "prepare/download_recognition_models.sh"
+) -> None:
     """Loud banner when an eval classifier falls back to random frozen
     weights (mirrors eval/evaluator_wrapper.py's missing-finest.tar
     warning).  The reference protocol assumes the downloaded tars
@@ -40,9 +42,8 @@ def _warn_random_classifier(name: str) -> None:
     log_lib.log(
         f"WARNING: {name} checkpoint not found — using RANDOM frozen "
         "classifier weights; FID/accuracy/diversity are NOT comparable "
-        "to the reference protocol. Fetch the asset with "
-        "prepare/download_recognition_models.sh or point the env var at "
-        "an existing tar."
+        f"to the reference protocol. Fetch the asset with {script} or "
+        "point the env var at an existing tar."
     )
 
 
@@ -70,12 +71,7 @@ class A2MEvaluation:
         if classifier_params is not None:
             self.params = classifier_params
         elif checkpoint_path is not None:
-            import torch
-
-            ckpt = torch.load(checkpoint_path, map_location="cpu",
-                              weights_only=False)
-            sd = {k: v.numpy() for k, v in ckpt["model"].items()}
-            self.params = convert_motion_discriminator(sd)
+            self.params = self.load_torch_checkpoint(checkpoint_path)
         else:
             _warn_random_classifier("a2m GRU classifier (humanact12_gru.tar)")
             x0 = jnp.zeros((2, input_size_raw // 3, 3, 8))
@@ -89,6 +85,22 @@ class A2MEvaluation:
         self._jit_feats = jax.jit(
             lambda m, l: self.classifier_fid.apply({"params": self.params}, m, l)
         )
+
+    @staticmethod
+    def load_torch_checkpoint(path_or_ckpt) -> dict:
+        """Released humanact12_gru.tar -> flax params.  Accepts a path
+        or an already-`torch.load`ed checkpoint dict (single-load for
+        callers that inspect the raw file, e.g.
+        prepare/verify_assets.py)."""
+        if isinstance(path_or_ckpt, (str, bytes, os.PathLike)):
+            import torch
+
+            ckpt = torch.load(path_or_ckpt, map_location="cpu",
+                              weights_only=False)
+        else:
+            ckpt = path_or_ckpt
+        sd = {k: v.numpy() for k, v in ckpt["model"].items()}
+        return convert_motion_discriminator(sd)
 
     # ---------------------------------------------------------------- #
     def calculate_accuracy(self, batches) -> float:
@@ -206,7 +218,7 @@ class STGCNA2MEvaluation(A2MEvaluation):
         checkpoint_path: Optional[str] = None,
         seed: int = 0,
     ):
-        from gesturediffusion_tpu.eval.stgcn import STGCN, convert_stgcn
+        from gesturediffusion_tpu.eval.stgcn import STGCN
 
         self.num_classes = num_classes
         self.model = STGCN(
@@ -217,15 +229,11 @@ class STGCNA2MEvaluation(A2MEvaluation):
         if variables is not None:
             self.variables = variables
         elif checkpoint_path is not None:
-            import torch
-
-            sd = torch.load(checkpoint_path, map_location="cpu",
-                            weights_only=False)
-            if isinstance(sd, dict) and "model" in sd:
-                sd = sd["model"]
-            self.variables = convert_stgcn(
-                {k: v.numpy() for k, v in sd.items()}
+            from gesturediffusion_tpu.eval.stgcn import (
+                load_stgcn_checkpoint,
             )
+
+            self.variables = load_stgcn_checkpoint(checkpoint_path)
         else:
             _warn_random_classifier(
                 "UESTC STGCN classifier (uestc_rot6d_stgcn.tar)"
@@ -496,8 +504,11 @@ def _existing(path: Optional[str]) -> Optional[str]:
     return path if path and os.path.exists(path) else None
 
 
-def _require_classifier(path: Optional[str], env_var: str, default: str,
-                        eval_mode: Optional[str]) -> Optional[str]:
+def _require_classifier(
+    path: Optional[str], env_var: str, default: str,
+    eval_mode: Optional[str],
+    script: str = "prepare/download_recognition_models.sh",
+) -> Optional[str]:
     """Full-protocol a2m runs refuse to proceed without the real
     classifier tar (random-init weights would silently produce garbage
     FID/accuracy — the reference protocol assumes the downloaded assets,
@@ -507,8 +518,7 @@ def _require_classifier(path: Optional[str], env_var: str, default: str,
         raise FileNotFoundError(
             f"a2m full-protocol evaluation requires the classifier "
             f"checkpoint; nothing found at ${env_var} "
-            f"(default: {default}). Fetch it with "
-            "prepare/download_recognition_models.sh, or use "
+            f"(default: {default}). Fetch it with {script}, or use "
             "--eval_mode debug for a smoke run with random-init weights."
         )
     return path
@@ -731,6 +741,10 @@ def main(argv=None):
                 checkpoint_path=_require_classifier(
                     _existing(os.environ.get(modi_env, modi_default)),
                     modi_env, modi_default, args.eval_mode,
+                    script=(
+                        "prepare/"
+                        "download_recognition_unconstrained_models.sh"
+                    ),
                 ),
             )
             summary.update(

@@ -15,7 +15,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from gesturediffusion_tpu.eval import metrics as M
-from gesturediffusion_tpu.eval.stgcn import STGCN, convert_stgcn
+from gesturediffusion_tpu.eval.stgcn import STGCN
 
 
 class UnconstrainedEvaluator:
@@ -33,15 +33,11 @@ class UnconstrainedEvaluator:
         if variables is not None:
             self.variables = variables
         elif checkpoint_path is not None:
-            import torch
-
-            sd = torch.load(checkpoint_path, map_location="cpu",
-                            weights_only=False)
-            if isinstance(sd, dict) and "model" in sd:
-                sd = sd["model"]
-            self.variables = convert_stgcn(
-                {k: v.numpy() for k, v in sd.items()}
+            from gesturediffusion_tpu.eval.stgcn import (
+                load_stgcn_checkpoint,
             )
+
+            self.variables = load_stgcn_checkpoint(checkpoint_path)
         else:
             from gesturediffusion_tpu.eval.eval_a2m import (
                 _warn_random_classifier,
@@ -49,7 +45,10 @@ class UnconstrainedEvaluator:
 
             _warn_random_classifier(
                 "MoDi unconstrained STGCN evaluator "
-                "(humanact12_gru_modi_struct.pth.tar)"
+                "(humanact12_gru_modi_struct.pth.tar)",
+                script=(
+                    "prepare/download_recognition_unconstrained_models.sh"
+                ),
             )
             x0 = jnp.zeros((2, 3, 16, 15))
             self.variables = self.model.init(jax.random.PRNGKey(seed), x0)

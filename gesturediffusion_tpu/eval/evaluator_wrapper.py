@@ -14,6 +14,7 @@ preserved exactly.  The forward passes are jitted.
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
@@ -109,11 +110,20 @@ class EvaluatorWrapper:
         return {"text": text, "motion": motion, "movement": movement}
 
     @staticmethod
-    def load_torch_checkpoint(path: str) -> dict:
-        """Convert the released finest.tar into flax params."""
-        import torch
+    def load_torch_checkpoint(path_or_ckpt) -> dict:
+        """Convert the released finest.tar into flax params.
 
-        ckpt = torch.load(path, map_location="cpu", weights_only=False)
+        Accepts a path or an already-`torch.load`ed checkpoint dict (so
+        callers that inspect the raw file, e.g. prepare/verify_assets.py,
+        don't pay a second multi-hundred-MB load)."""
+        if isinstance(path_or_ckpt, (str, bytes, os.PathLike)):
+            import torch
+
+            ckpt = torch.load(
+                path_or_ckpt, map_location="cpu", weights_only=False
+            )
+        else:
+            ckpt = path_or_ckpt
 
         def sd(key):
             return {k: v.numpy() for k, v in ckpt[key].items()}

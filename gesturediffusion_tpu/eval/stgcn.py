@@ -264,6 +264,29 @@ class STGCN(nn.Module):
         return logits
 
 
+def load_stgcn_checkpoint(path_or_ckpt) -> dict:
+    """Load + convert a released ST-GCN tar into flax variables.
+
+    Accepts a path or an already-`torch.load`ed object (callers that
+    inspect the raw file, e.g. prepare/verify_assets.py, don't pay a
+    second load); unwraps the reference's ``{"model": state_dict}``
+    wrapper when present.  The single load+convert definition shared by
+    STGCNA2MEvaluation (eval_a2m.py) and UnconstrainedEvaluator
+    (eval_unconstrained.py)."""
+    import os
+
+    if isinstance(path_or_ckpt, (str, bytes, os.PathLike)):
+        import torch
+
+        sd = torch.load(path_or_ckpt, map_location="cpu",
+                        weights_only=False)
+    else:
+        sd = path_or_ckpt
+    if isinstance(sd, dict) and "model" in sd:
+        sd = sd["model"]
+    return convert_stgcn({k: v.numpy() for k, v in sd.items()})
+
+
 def convert_stgcn(sd: dict, num_blocks: int | None = None) -> dict:
     """torch STGCN state_dict -> flax params (frozen eval use)."""
     import numpy as np

@@ -233,10 +233,14 @@ def make_text_motion_match_trainer(
             opt_state=opt_state,
         ), metrics
 
+    @jax.jit
     def val_loss(state: TrainerState, word_embs, pos_ohot, cap_lens,
                  motions, m_lens):
         """Deterministic validation loss (shift 1, like an epoch-start
-        reference draw); used by fit loops to pick `finest`."""
+        reference draw); used by fit loops to pick `finest`.  Jitted:
+        every device-touching step in this module is one compiled
+        program — an eager forward is a per-op round-trip storm on
+        tunneled TPU backends (see bench.py "measurement gotcha")."""
         loss, metrics = loss_fn(
             state.params, jnp.asarray(1), word_embs, pos_ohot, cap_lens,
             motions, m_lens,

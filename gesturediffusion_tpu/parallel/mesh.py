@@ -17,6 +17,7 @@ hand-written communication.
 
 from __future__ import annotations
 
+import warnings
 from typing import Optional, Sequence
 
 import jax
@@ -46,21 +47,39 @@ def make_data_mesh_for_batch(batch_size: int, model: int = 1) -> Mesh:
     A smoke run (batch 4) on an 8-device host must not crash on the
     batch-axis sharding; use the largest divisor of the batch that fits
     the available data-parallel width and leave the rest of the devices
-    idle, loudly."""
-    import math
+    idle, loudly (a `warnings.warn`, so it reaches logs and test
+    assertions — not just stdout).
 
+    Multi-process runs never clamp: a subset mesh can exclude every
+    device some process owns, and `shard_batch`/`make_global_batch` on a
+    mesh with no addressable local devices deadlocks in collectives.
+    There the batch must divide the slice's data width — raise early and
+    clearly instead."""
     devices = jax.devices()
     n = len(devices)
     assert n % model == 0, f"model axis {model} does not divide {n} devices"
-    dp = math.gcd(batch_size, n // model)
-    if dp * model != n:
-        print(
-            f"[mesh] batch_size {batch_size} is not divisible by the "
-            f"available data-parallel width {n // model} ({n} devices / "
-            f"model axis {model}) — using a {dp}x{model} mesh "
-            f"({n - dp * model} devices idle). Pick a batch divisible "
-            f"by {n // model} to use the whole slice."
+    width = n // model
+    if batch_size % width == 0:
+        return make_mesh(devices, data=width, model=model)
+    if jax.process_count() > 1:
+        raise ValueError(
+            f"batch_size {batch_size} is not divisible by the slice's "
+            f"data-parallel width {width} ({n} devices / model axis "
+            f"{model}).  Multi-process meshes cannot shrink to a device "
+            f"subset (a process left without devices deadlocks in "
+            f"collectives) — pick a batch divisible by {width}."
         )
+    # largest divisor of the batch that fits the width (beats
+    # gcd(batch, width): batch 12 on 8 devices -> dp 6, not 4)
+    dp = max(d for d in range(1, width + 1) if batch_size % d == 0)
+    warnings.warn(
+        f"batch_size {batch_size} is not divisible by the available "
+        f"data-parallel width {width} ({n} devices / model axis "
+        f"{model}) — using a {dp}x{model} mesh ({n - dp * model} "
+        f"devices idle). Pick a batch divisible by {width} to use the "
+        f"whole slice.",
+        stacklevel=2,
+    )
     return make_mesh(devices[: dp * model], data=dp, model=model)
 
 

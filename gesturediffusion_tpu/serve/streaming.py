@@ -7,9 +7,12 @@ serving must be incremental.  This module rebuilds the reference's
 host-side per-chunk loop (reference: sample/generate.py:91-130, seed
 hand-off :104-107) as a TPU serving session:
 
-  * ONE jitted per-chunk program, compiled at ``start()``; every later
-    chunk is a single device dispatch of the same executable (the chunk
-    index is a traced scalar, so there is no per-chunk retrace).
+  * ONE jitted per-chunk program, compiled on the FIRST ``feed()``
+    (jit traces on real shapes, so ``start()`` cannot compile it —
+    budget the first chunk's latency accordingly, or absorb it with a
+    throwaway warm-up feed before going live); every later chunk is a
+    single device dispatch of the same executable (the chunk index is a
+    traced scalar, so there is no per-chunk retrace).
   * the seed-pose carry stays ON DEVICE between chunks; per-chunk host
     traffic is the incoming conditioning window in and the finished
     motion chunk out.
@@ -65,9 +68,10 @@ class StreamStats:
     def realtime_speedup(self) -> float:
         """Seconds of motion produced per wall second (>1 = real-time OK).
 
-        Uses the mean chunk latency; the first chunk after ``start()``
-        includes compile time, so warm sessions should ``reset()`` the
-        stats (or look at ``last_latency_s``) for steady-state numbers.
+        Uses the mean chunk latency; the first ``feed()`` of a fresh
+        session includes jit-compile time, so call
+        ``session.reset_stats()`` after a warm-up chunk (or look at
+        ``last_latency_s``) for steady-state numbers.
         """
         mean = self.mean_latency_s
         return self.motion_seconds_per_chunk / mean if mean > 0 else 0.0
@@ -153,26 +157,22 @@ class StreamingGestureSession:
         self._seed_poses = seed_poses
         self._fps = fps
         self._njoints = model.njoints
-        self._shape = (streams, model.njoints, 1, chunk_frames)
+        self._nfeats = getattr(model, "nfeats", 1)
+        self._shape = (streams, model.njoints, self._nfeats, chunk_frames)
         self._scale = (
             jnp.full((streams,), guidance_param, jnp.float32)
             if guidance_param != 1 else None
         )
 
         def chunk_program(rng, k, cond, seed):
-            # identical math to autoregressive_sample_loop's scan body
-            # (diffusion/sampling.py:460-472): per-chunk rng fold, seed
-            # injected into cond, one denoise loop, last-S-frame hand-off
-            chunk_rng = jax.random.fold_in(rng, k)
-            c = dict(cond)
-            c["seed"] = seed
-            if cond_precompute is not None:
-                c = cond_precompute(c)
-            out = loop(
-                self._diffusion, model_fn, self._shape, chunk_rng, c,
-                clip_denoised=clip_denoised,
+            # the per-chunk math is sampling.ar_chunk_step — the SAME
+            # function the batch path's scan body calls, so the
+            # streaming and batch paths cannot diverge
+            return sampling.ar_chunk_step(
+                self._diffusion, model_fn, self._shape, rng, k, cond,
+                seed, seed_poses, loop=loop, clip_denoised=clip_denoised,
+                cond_precompute=cond_precompute,
             )
-            return out, out[..., -seed_poses:]
 
         self._chunk_program: Callable = jax.jit(chunk_program)
         # multi-chip serving: shard the streams axis over the mesh's
@@ -203,15 +203,17 @@ class StreamingGestureSession:
     ) -> None:
         """Begin a take: set the first chunk's seed poses and the RNG.
 
-        ``init_seed`` is [streams, J, 1, seed_poses] (the dataset GT seed,
+        ``init_seed`` is [streams, J, F, seed_poses] (the dataset GT seed,
         z-normalized — reference seeds chunk 0 from GT, generate.py:104).
         """
         init_seed = jnp.asarray(init_seed, jnp.float32)
-        want = (self._streams, self._njoints, 1, self._seed_poses)
+        want = (
+            self._streams, self._njoints, self._nfeats, self._seed_poses
+        )
         if init_seed.shape != want:
             raise ValueError(
                 f"init_seed shape {init_seed.shape} != {want} "
-                "(streams, njoints, 1, seed_poses)"
+                "(streams, njoints, nfeats, seed_poses)"
             )
         if self._batch_sh is not None:
             init_seed = jax.device_put(init_seed, self._batch_sh)
@@ -302,6 +304,15 @@ class StreamingGestureSession:
         for i, feats in enumerate(rows):
             mf[i, :, 0, : feats.shape[0]] = feats.T
         return self.feed({"mfcc": mf})
+
+    def reset_stats(self) -> None:
+        """Zero the latency accounting without touching the take state.
+
+        Call after a warm-up ``feed()`` so the jit-compile latency of the
+        first chunk doesn't pollute steady-state serving numbers."""
+        self._stats = StreamStats(
+            motion_seconds_per_chunk=self._chunk_frames / self._fps
+        )
 
     def stats(self) -> StreamStats:
         return dataclasses.replace(self._stats)

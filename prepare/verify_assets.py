@@ -43,7 +43,11 @@ import numpy as np
 OK, SYNTHETIC, MISSING, ERROR = "OK", "SYNTHETIC", "MISSING", "ERROR"
 
 
-def _sha256(path: str, limit: int = 1 << 30) -> str:
+def _content_hash(path: str, limit: int = 1 << 30) -> str:
+    """sha256 over the first `limit` bytes (defence against multi-GB
+    dataset files), truncated to 16 hex chars.  The report column is
+    labelled accordingly — this is a change-detection fingerprint, not a
+    full-file digest."""
     h = hashlib.sha256()
     with open(path, "rb") as f:
         while chunk := f.read(1 << 20):
@@ -120,8 +124,10 @@ def check_glove(path: str):
 def check_t2m_evaluator(path: str):
     from gesturediffusion_tpu.eval.evaluator_wrapper import EvaluatorWrapper
 
-    ckpt = _torch_load(path)
-    ev = EvaluatorWrapper("humanml", checkpoint_path=path)
+    ckpt = _torch_load(path)  # single load: converted params passed in
+    ev = EvaluatorWrapper(
+        "humanml", params=EvaluatorWrapper.load_torch_checkpoint(ckpt)
+    )
     rs = np.random.RandomState(0)
     motions = rs.randn(4, 40, 263).astype(np.float32)
     emb = ev.get_motion_embeddings(motions, np.full((4,), 40, np.int64))
@@ -135,8 +141,10 @@ def check_a2m_gru(path: str):
 
     from gesturediffusion_tpu.eval.eval_a2m import A2MEvaluation
 
-    ckpt = _torch_load(path)
-    ev = A2MEvaluation(checkpoint_path=path)
+    ckpt = _torch_load(path)  # single load: converted params passed in
+    ev = A2MEvaluation(
+        classifier_params=A2MEvaluation.load_torch_checkpoint(ckpt)
+    )
     rs = np.random.RandomState(0)
     feats = ev._jit_feats(
         jnp.asarray(rs.randn(2, 24, 3, 8), jnp.float32),
@@ -152,8 +160,10 @@ def check_uestc_stgcn(path: str):
 
     from gesturediffusion_tpu.eval.eval_a2m import STGCNA2MEvaluation
 
-    ckpt = _torch_load(path)
-    ev = STGCNA2MEvaluation(checkpoint_path=path)
+    from gesturediffusion_tpu.eval.stgcn import load_stgcn_checkpoint
+
+    ckpt = _torch_load(path)  # single load: converted variables passed in
+    ev = STGCNA2MEvaluation(variables=load_stgcn_checkpoint(ckpt))
     rs = np.random.RandomState(0)
     logits, feats = ev._jit_fwd(
         jnp.asarray(rs.randn(2, 24, 6, 16), jnp.float32)
@@ -169,8 +179,10 @@ def check_modi_stgcn(path: str):
         UnconstrainedEvaluator,
     )
 
-    ckpt = _torch_load(path)
-    ev = UnconstrainedEvaluator(checkpoint_path=path)
+    from gesturediffusion_tpu.eval.stgcn import load_stgcn_checkpoint
+
+    ckpt = _torch_load(path)  # single load: converted variables passed in
+    ev = UnconstrainedEvaluator(variables=load_stgcn_checkpoint(ckpt))
     rs = np.random.RandomState(0)
     feats, preds = ev.compute_features(
         rs.randn(2, 15, 3, 16).astype(np.float32)
@@ -240,10 +252,13 @@ def check_humanact12(path: str):
 
 
 def check_uestc(path: str):
+    from gesturediffusion_tpu.data.a2m import A2MSplitView
     from gesturediffusion_tpu.data.uestc import UESTC
 
-    tr = UESTC(path, num_frames=60, pose_rep="rot6d", split="train")
-    te = UESTC(path, num_frames=60, pose_rep="rot6d", split="test")
+    # one construction (the multi-GB vibe cache loads + view-corrects
+    # once); both splits are index views over it
+    ds = UESTC(path, num_frames=60, pose_rep="rot6d", split="train")
+    tr, te = A2MSplitView(ds, "train"), A2MSplitView(ds, "test")
     status = OK if len(tr) + len(te) >= 10_000 else SYNTHETIC
     return status, f"train={len(tr)} test={len(te)}"
 
@@ -292,12 +307,12 @@ def run_checks(root: str) -> list[dict]:
         row = {"asset": name, "path": path}
         exists = os.path.isdir(path) if is_dir else os.path.isfile(path)
         if not exists:
-            row.update(status=MISSING, sha256="-", detail=(
+            row.update(status=MISSING, hash="-", detail=(
                 f"fetch with prepare/ scripts; env override ${env}"
                 if env else "fetch with prepare/ scripts"))
             rows.append(row)
             continue
-        row["sha256"] = "-" if is_dir else _sha256(path)
+        row["hash"] = "-" if is_dir else _content_hash(path)
         try:
             status, detail = fn(path)
             row.update(status=status, detail=detail)
@@ -316,12 +331,12 @@ def write_report(rows: list[dict], out: str) -> None:
         "the released artifact) — metrics computed with it are NOT "
         "reference-comparable. Re-run after `prepare/download_*.sh`.",
         "",
-        "| Asset | Status | sha256 | Detail |",
+        "| Asset | Status | sha256/16 (first GiB) | Detail |",
         "|---|---|---|---|",
     ]
     for r in rows:
         lines.append(
-            f"| {r['asset']} | {r['status']} | `{r['sha256']}` "
+            f"| {r['asset']} | {r['status']} | `{r['hash']}` "
             f"| {r['detail']} |"
         )
     counts: dict = {}

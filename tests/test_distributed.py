@@ -159,7 +159,8 @@ class TestMeshClamp:
     raised on the batch-axis device_put)."""
 
     def test_indivisible_batch_clamps_data_axis(self):
-        mesh = mesh_lib.make_data_mesh_for_batch(4)
+        with pytest.warns(UserWarning, match="not divisible"):
+            mesh = mesh_lib.make_data_mesh_for_batch(4)
         assert mesh.shape["data"] == 4
         batch = jnp.zeros((4, 3, 1, 8))
         out = mesh_lib.shard_batch(mesh, batch)
@@ -169,6 +170,27 @@ class TestMeshClamp:
         mesh = mesh_lib.make_data_mesh_for_batch(32)
         assert mesh.shape["data"] == jax.device_count()
 
-    def test_coprime_batch_falls_back_to_single_device(self):
-        mesh = mesh_lib.make_data_mesh_for_batch(7)
+    def test_clamp_picks_largest_batch_divisor_not_gcd(self):
+        # batch 12 on 8 devices: gcd(12, 8) = 4 but dp 6 fits and
+        # divides the batch — 2 idle devices, not 4
+        with pytest.warns(UserWarning, match="not divisible"):
+            mesh = mesh_lib.make_data_mesh_for_batch(12)
+        assert mesh.shape["data"] == 6
+
+    def test_prime_batch_wider_than_nothing(self):
+        # 7 is prime but 7 <= 8, so dp 7 (one idle device) beats dp 1
+        with pytest.warns(UserWarning, match="not divisible"):
+            mesh = mesh_lib.make_data_mesh_for_batch(7)
+        assert mesh.shape["data"] == 7
+
+    def test_coprime_oversized_batch_falls_back_to_single_device(self):
+        with pytest.warns(UserWarning, match="not divisible"):
+            mesh = mesh_lib.make_data_mesh_for_batch(13)
         assert mesh.shape["data"] == 1
+
+    def test_multiprocess_never_clamps(self, monkeypatch):
+        # a subset mesh can exclude every device some process owns —
+        # multi-process runs must raise instead of shrinking
+        monkeypatch.setattr(jax, "process_count", lambda: 2)
+        with pytest.raises(ValueError, match="Multi-process"):
+            mesh_lib.make_data_mesh_for_batch(12)

@@ -260,3 +260,53 @@ class TestStats:
         # stats() returns a copy — mutating it doesn't touch the session
         s.chunks = 99
         assert session.stats().chunks == 2
+
+    def test_reset_stats_keeps_take_state(self):
+        model, params, seed0, chunk_mfcc = _build()
+        session = StreamingGestureSession(
+            model, params, guidance_param=GUIDANCE, streams=B,
+            chunk_frames=T, seed_poses=S, diffusion_steps=STEPS, fps=30.0,
+        )
+        session.start(seed0, rng=0)
+        want = [session.feed({"mfcc": chunk_mfcc[k]}) for k in range(C)]
+
+        session.start(seed0, rng=0)
+        got = [session.feed({"mfcc": chunk_mfcc[0]})]
+        session.reset_stats()  # warm-up absorbed; take state untouched
+        assert session.stats().chunks == 0
+        got += [session.feed({"mfcc": chunk_mfcc[k]}) for k in range(1, C)]
+        for w, g in zip(want, got):
+            np.testing.assert_allclose(g, w, rtol=1e-5, atol=1e-5)
+        assert session.stats().chunks == C - 1
+
+
+class TestNfeats:
+    def test_session_respects_model_nfeats(self):
+        """A rot6d-style model (nfeats != 1) must get a correctly shaped
+        sample and accept its [B, J, F, S] seed (regression: the shape
+        was hardcoded to nfeats=1)."""
+        F = 2
+        model = MDM(
+            njoints=J, nfeats=F, latent_dim=D, num_layers=2, ff_size=64,
+            num_heads=4, seed_poses=S, cond_mask_prob=0.1, mfcc_dim=A,
+            window_size=5,
+        )
+        rs = np.random.RandomState(0)
+        x = jnp.asarray(rs.randn(B, J, F, T), jnp.float32)
+        cond = {
+            "mfcc": jnp.asarray(rs.randn(B, A, 1, T), jnp.float32),
+            "seed": jnp.asarray(rs.randn(B, J, F, S), jnp.float32),
+        }
+        params = model.init(
+            jax.random.PRNGKey(0), x, jnp.zeros((B,), jnp.int32), cond
+        )
+        session = StreamingGestureSession(
+            model, params, guidance_param=GUIDANCE, streams=B,
+            chunk_frames=T, seed_poses=S, diffusion_steps=STEPS,
+        )
+        session.start(np.asarray(cond["seed"]), rng=0)
+        out = session.feed(
+            {"mfcc": np.asarray(rs.randn(B, A, 1, T), np.float32)}
+        )
+        assert out.shape == (B, J, F, T)
+        assert np.all(np.isfinite(out))
