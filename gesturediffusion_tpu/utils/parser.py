@@ -196,6 +196,24 @@ def add_edit_options(parser: ArgumentParser):
     group.add_argument("--suffix_start", default=0.75, type=float)
 
 
+def add_serve_options(parser: ArgumentParser):
+    group = parser.add_argument_group("serve")
+    group.add_argument("--wav", default="", type=str,
+                       help="Raw mono wav to stream (22050 Hz). Default: "
+                            "stream the val split's own audio windows.")
+    group.add_argument("--streams", default=1, type=int,
+                       help="Concurrent takes batched per chunk program "
+                            "(multi-tenant serving).")
+    group.add_argument("--num_chunks", default=0, type=int,
+                       help="Chunks to serve; 0 = as many as the source "
+                            "provides.")
+    group.add_argument("--sampler", default="ddpm",
+                       choices=["ddpm", "ddim", "plms"], type=str)
+    group.add_argument("--sample_steps", default=0, type=int,
+                       help="Respace the sampler to N steps (the latency "
+                            "knob); 0 = the full trained chain.")
+
+
 def add_evaluation_options(parser: ArgumentParser):
     group = parser.add_argument_group("eval")
     group.add_argument("--model_path", required=True, type=str)
@@ -232,6 +250,14 @@ def edit_args(argv=None):
     add_base_options(parser)
     add_sampling_options(parser)
     add_edit_options(parser)
+    return parse_and_load_from_model(parser, argv)
+
+
+def serve_args(argv=None):
+    parser = ArgumentParser()
+    add_base_options(parser)
+    add_sampling_options(parser)
+    add_serve_options(parser)
     return parse_and_load_from_model(parser, argv)
 
 

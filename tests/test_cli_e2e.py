@@ -78,6 +78,51 @@ class TestCLIChain:
             os.path.join(out_dir, os.listdir(out_dir)[0])
         ) > 0
 
+    def test_serve_demo_from_checkpoint(self, trained_ckpt):
+        run_cli([
+            "gesturediffusion_tpu.serve.demo",
+            "--model_path", trained_ckpt, "--streams", "2",
+            "--num_chunks", "2", "--sampler", "ddim",
+            "--sample_steps", "4", "--seed", "5",
+        ])
+        out_dir = os.path.join(
+            os.path.dirname(trained_ckpt), "serve_run_000000003_seed5"
+        )
+        results = np.load(
+            os.path.join(out_dir, "results.npy"), allow_pickle=True
+        ).item()
+        assert results["motion"].shape[0] == 2
+        assert results["num_chunks"] == 2
+        assert np.isfinite(results["motion"]).all()
+        report = json.load(
+            open(os.path.join(out_dir, "serving_report.json"))
+        )
+        assert report["chunks_served"] == 2
+        assert report["steady_mean_latency_s"] > 0
+        assert os.path.isfile(os.path.join(out_dir, "stream_0.bvh"))
+        assert os.path.isfile(os.path.join(out_dir, "stream_1.bvh"))
+
+    def test_serve_demo_from_wav(self, trained_ckpt, tmp_path):
+        # a raw mono wav (two chunks worth) through the MFCC front end
+        from scipy.io import wavfile
+
+        rs = np.random.RandomState(0)
+        sr, frames = 22050, 20
+        wav = (rs.randn(2 * int(frames * sr / 30)) * 0.1).astype(np.float32)
+        wav_path = str(tmp_path / "in.wav")
+        wavfile.write(wav_path, sr, (wav * 32767).astype(np.int16))
+        run_cli([
+            "gesturediffusion_tpu.serve.demo",
+            "--model_path", trained_ckpt, "--wav", wav_path,
+            "--sampler", "ddpm", "--sample_steps", "4", "--seed", "6",
+            "--output_dir", str(tmp_path / "out"),
+        ])
+        results = np.load(
+            str(tmp_path / "out" / "results.npy"), allow_pickle=True
+        ).item()
+        assert results["num_chunks"] == 2
+        assert np.isfinite(results["motion"]).all()
+
     def test_edit_from_checkpoint(self, trained_ckpt):
         run_cli([
             "gesturediffusion_tpu.sample.edit",
