@@ -405,6 +405,104 @@ def plms_sample_loop(
     return final
 
 
+def dpmpp_sample_loop(
+    diffusion: GaussianDiffusion,
+    model_fn: ModelFn,
+    shape: tuple[int, ...],
+    rng: jax.Array,
+    cond: Any,
+    *,
+    order: int = 2,
+    noise: Optional[jax.Array] = None,
+    clip_denoised: bool = False,
+    denoised_fn=None,
+    cond_fn: Optional[CondFn] = None,
+    inpaint: Optional[tuple[jax.Array, jax.Array]] = None,
+    skip_timesteps: int = 0,
+    init_image: Optional[jax.Array] = None,
+) -> jax.Array:
+    """DPM-Solver++(2M) chain as one scan (Lu et al. 2022, multistep
+    data-prediction solver) — a deterministic sampler that tracks the
+    probability-flow ODE to second order, so it holds sample quality at
+    far fewer steps than DDIM (the serving latency knob; the reference
+    exposes only DDPM/DDIM/PLMS, gaussian_diffusion.py:598,732,995).
+
+    Update in log-SNR time λ = log(α/σ) for the respaced chain step
+    t → t-1 with h = λ_{t-1} − λ_t:
+
+        D   = (1 + 1/(2r))·x̂0(x_t) − 1/(2r)·x̂0(x_{t+1}),  r = h_prev/h
+        x' = (σ_{t-1}/σ_t)·x_t − α_{t-1}·(e^{−h} − 1)·D
+
+    The first step (no history) and the final step (σ→0, where the
+    second-order ratio degenerates) run first-order, which is exactly
+    DDIM(η=0) — ``order=1`` forces first-order everywhere and is
+    equality-tested against `ddim_sample_loop`.
+    """
+    if int(order) not in (1, 2):
+        raise ValueError("dpmpp order must be 1 or 2 (2M)")
+    second_order = int(order) == 2
+    x, num_steps = _init_sample(
+        diffusion, shape, rng, noise, skip_timesteps, init_image
+    )
+
+    # log-SNR tables over the respaced chain.  alphas_cumprod_prev[0] is
+    # 1.0 (σ_prev = 0 → λ = +inf); the 1e-20 floor keeps the arithmetic
+    # finite while staying within f32 of the analytic limit — at the
+    # final step e^{-h} ≈ 0 and σ-ratio ≈ 0, so x' → D exactly as the
+    # ODE prescribes (same limit DDIM's α_prev=1 endpoint hits).
+    ac = diffusion.alphas_cumprod
+    sigma_t = jnp.sqrt(1.0 - ac)
+    lam_t = 0.5 * (jnp.log(ac) - jnp.log1p(-ac))
+    ac_prev = diffusion.alphas_cumprod_prev
+    alpha_prev = jnp.sqrt(ac_prev)
+    sigma_prev = jnp.sqrt(jnp.maximum(1.0 - ac_prev, 1e-40))
+    lam_prev = jnp.log(jnp.maximum(alpha_prev, 1e-20)) - jnp.log(sigma_prev)
+
+    def get_x0(xc, t):
+        out_orig = diffusion.p_mean_variance(
+            model_fn, xc, t, cond,
+            clip_denoised=clip_denoised, denoised_fn=denoised_fn,
+            inpaint=inpaint,
+        )
+        out = (
+            diffusion.condition_score(cond_fn, out_orig, xc, t, cond)
+            if cond_fn is not None
+            else out_orig
+        )
+        # f32 solver state: a bf16-compute model returns pred_xstart in
+        # its compute dtype, and the multistep combination/carry must not
+        # round (matches the other loops, whose updates promote through
+        # the f32 schedule coefficients)
+        return out["pred_xstart"].astype(jnp.float32)
+
+    def body(carry, i):
+        xc, x0_prev, h_prev, have_prev = carry
+        t = jnp.full((shape[0],), i, jnp.int32)
+        x0 = get_x0(xc, t)
+
+        h = lam_prev[i] - lam_t[i]
+        # second-order multistep combination; first step (no history) and
+        # final step (i == 0, degenerate r) drop to first-order
+        use2 = jnp.logical_and(have_prev > 0, i > 0) if second_order else False
+        r_safe = jnp.where(use2, h_prev / h, 1.0)
+        c = jnp.where(use2, 1.0 / (2.0 * r_safe), 0.0)
+        d = (1.0 + c) * x0 - c * x0_prev
+
+        x_next = (
+            (sigma_prev[i] / sigma_t[i]) * xc
+            - alpha_prev[i] * (jnp.exp(-h) - 1.0) * d
+        )
+        return (x_next, x0, h, jnp.int32(1)), None
+
+    indices = jnp.arange(num_steps - 1, -1, -1)
+    (final, _, _, _), _ = jax.lax.scan(
+        body, (x, jnp.zeros_like(x), jnp.asarray(1.0, x.dtype),
+               jnp.int32(0)),
+        indices,
+    )
+    return final
+
+
 def ar_chunk_step(
     diffusion: GaussianDiffusion,
     model_fn: ModelFn,
@@ -514,11 +612,12 @@ def autoregressive_sample_loop(
 def make_sample_fn(
     diffusion: GaussianDiffusion, sampler: str = "ddpm", **default_kwargs
 ) -> Callable:
-    """Convenience dispatcher: 'ddpm' | 'ddim' | 'plms' -> loop function."""
+    """Convenience dispatcher: 'ddpm'|'ddim'|'plms'|'dpmpp' -> loop function."""
     loops = {
         "ddpm": p_sample_loop,
         "ddim": ddim_sample_loop,
         "plms": plms_sample_loop,
+        "dpmpp": dpmpp_sample_loop,
     }
     if sampler not in loops:
         raise ValueError(f"unknown sampler {sampler}")

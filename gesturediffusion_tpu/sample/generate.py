@@ -125,6 +125,7 @@ def main(argv=None):
         "ddpm": sampling.p_sample_loop,
         "ddim": sampling.ddim_sample_loop,
         "plms": sampling.plms_sample_loop,
+        "dpmpp": sampling.dpmpp_sample_loop,
     }[sampler_name]
 
     # ---- pre-collate every chunk host-side (cheap numpy) ------------ #

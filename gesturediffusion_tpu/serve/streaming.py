@@ -20,10 +20,12 @@ hand-off :104-107) as a TPU serving session:
     (multi-tenant serving — the take-set ladder in bench.py shows
     per-chip throughput *rises* with batched streams).
   * an optional respaced sampler (``sample_steps=N`` → N-step DDPM /
-    DDIM / PLMS via the standard respacing surface,
+    DDIM / PLMS / DPM-Solver++(2M) via the standard respacing surface,
     diffusion/schedules.py) trades sampling fidelity for per-chunk
     latency — the knob the reference exposes as ``--sample_steps`` style
-    respacing (reference: diffusion/respace.py).
+    respacing (reference: diffusion/respace.py).  ``sampler="dpmpp"``
+    is the low-latency pick: second-order in log-SNR time, it holds
+    quality at far fewer steps than DDIM (measured ladder in README).
 
 Feeding the same per-chunk conditioning in sequence reproduces the
 batch path exactly: chunk k is denoised with ``fold_in(rng, k)`` and the
@@ -147,6 +149,7 @@ class StreamingGestureSession:
             "ddpm": sampling.p_sample_loop,
             "ddim": sampling.ddim_sample_loop,
             "plms": sampling.plms_sample_loop,
+            "dpmpp": sampling.dpmpp_sample_loop,
         }
         if sampler not in loops:
             raise ValueError(f"unknown sampler {sampler!r}")

@@ -182,7 +182,7 @@ def add_generate_options(parser: ArgumentParser):
     group.add_argument("--text_prompt", default="", type=str)
     group.add_argument("--action_name", default="", type=str)
     group.add_argument("--sampler", default="ddpm",
-                       choices=["ddpm", "ddim", "plms"], type=str)
+                       choices=["ddpm", "ddim", "plms", "dpmpp"], type=str)
     group.add_argument("--timestep_respacing", default="", type=str,
                        help='e.g. "ddim50" for 50-step DDIM sampling.')
 
@@ -208,7 +208,7 @@ def add_serve_options(parser: ArgumentParser):
                        help="Chunks to serve; 0 = as many as the source "
                             "provides.")
     group.add_argument("--sampler", default="ddpm",
-                       choices=["ddpm", "ddim", "plms"], type=str)
+                       choices=["ddpm", "ddim", "plms", "dpmpp"], type=str)
     group.add_argument("--sample_steps", default=0, type=int,
                        help="Respace the sampler to N steps (the latency "
                             "knob); 0 = the full trained chain.")

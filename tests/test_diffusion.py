@@ -157,6 +157,78 @@ class TestSamplers:
             )
             np.testing.assert_allclose(out, x_true, atol=1e-3)
 
+    def test_dpmpp_loop_recovers_xstart_with_perfect_model(self):
+        d = small_diffusion(steps=20)
+        x_true = jax.random.normal(KEY, SHAPE)
+        out = sampling.dpmpp_sample_loop(
+            d, perfect_model(x_true), SHAPE, jax.random.PRNGKey(5), cond=None
+        )
+        np.testing.assert_allclose(out, x_true, atol=1e-3)
+
+    def test_dpmpp_order1_equals_ddim(self):
+        """First-order DPM-Solver++ (data prediction) IS DDIM(eta=0):
+        alpha_prev*(1 - e^{-h}) == alpha_prev - alpha_t*sigma_prev/sigma_t.
+        The implementations must agree step-for-step."""
+        d = small_diffusion(steps=40, timestep_respacing="8")
+
+        def model(x, t, c):
+            return jnp.tanh(x) * 0.4  # smooth, imperfect x0 predictor
+
+        noise = jax.random.normal(jax.random.PRNGKey(3), SHAPE)
+        a = sampling.dpmpp_sample_loop(
+            d, model, SHAPE, jax.random.PRNGKey(5), cond=None,
+            noise=noise, order=1,
+        )
+        b = sampling.ddim_sample_loop(
+            d, model, SHAPE, jax.random.PRNGKey(5), cond=None, noise=noise
+        )
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-4)
+
+    def test_dpmpp_2m_beats_ddim_at_few_steps(self):
+        """The point of the second-order solver: at a low step count it
+        tracks the probability-flow ODE (approximated by many-step DDIM)
+        closer than DDIM at the same step count."""
+        def model(x, t, c):
+            return jnp.tanh(x) * 0.4
+
+        noise = jax.random.normal(jax.random.PRNGKey(3), SHAPE)
+        truth = sampling.ddim_sample_loop(
+            small_diffusion(steps=400), model, SHAPE,
+            jax.random.PRNGKey(5), cond=None, noise=noise,
+        )
+        d_few = small_diffusion(steps=400, timestep_respacing="8")
+        ddim_few = sampling.ddim_sample_loop(
+            d_few, model, SHAPE, jax.random.PRNGKey(5), cond=None,
+            noise=noise,
+        )
+        dpmpp_few = sampling.dpmpp_sample_loop(
+            d_few, model, SHAPE, jax.random.PRNGKey(5), cond=None,
+            noise=noise,
+        )
+        err_ddim = float(jnp.max(jnp.abs(ddim_few - truth)))
+        err_dpmpp = float(jnp.max(jnp.abs(dpmpp_few - truth)))
+        assert err_dpmpp < err_ddim, (err_dpmpp, err_ddim)
+
+    def test_dpmpp_bf16_model_output(self):
+        """A bf16-compute model returns pred_xstart in bf16; the solver
+        state must stay f32 (regression: the scan carry dtype mismatched
+        on the production bf16 fast path)."""
+        d = small_diffusion(steps=8)
+
+        def model(x, t, c):
+            return (jnp.tanh(x) * 0.4).astype(jnp.bfloat16)
+
+        out = sampling.dpmpp_sample_loop(d, model, SHAPE, KEY, cond=None)
+        assert out.dtype == jnp.float32
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_dpmpp_invalid_order_raises(self):
+        d = small_diffusion(steps=8)
+        with pytest.raises(ValueError):
+            sampling.dpmpp_sample_loop(
+                d, lambda x, t, c: x, SHAPE, KEY, cond=None, order=3
+            )
+
     def test_ddim_eta0_deterministic(self):
         d = small_diffusion(steps=10)
         x_true = jax.random.normal(KEY, SHAPE)

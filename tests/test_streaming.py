@@ -162,7 +162,7 @@ class TestShardedServing:
 
 
 class TestRespacedAndSamplers:
-    @pytest.mark.parametrize("sampler", ["ddpm", "ddim", "plms"])
+    @pytest.mark.parametrize("sampler", ["ddpm", "ddim", "plms", "dpmpp"])
     def test_respaced_sampler_runs(self, sampler):
         model, params, seed0, chunk_mfcc = _build()
         session = StreamingGestureSession(
