@@ -444,7 +444,9 @@ def create_diffusion(
         use_timesteps = (
             timestep_respacing
             if isinstance(timestep_respacing, set)
-            else schedules.space_timesteps(original_num_steps, timestep_respacing)
+            else schedules.space_timesteps(
+                original_num_steps, timestep_respacing, betas=betas
+            )
         )
         betas, timestep_map = schedules.respaced_betas(betas, use_timesteps)
     else:

@@ -44,14 +44,43 @@ def get_named_beta_schedule(
     raise NotImplementedError(f"unknown beta schedule: {schedule_name}")
 
 
-def space_timesteps(num_timesteps: int, section_counts) -> set[int]:
+def space_timesteps(
+    num_timesteps: int, section_counts, betas=None
+) -> set[int]:
     """Choose a subset of original timesteps for respaced (fewer-step) sampling.
 
     ``section_counts`` is either a comma-separated string of per-section step
     counts, the literal ``"ddimN"`` (stride chosen to produce exactly N steps),
-    or a list of ints.
+    ``"logsnrN"`` (N steps uniform in log-SNR λ = ½·log(ᾱ/(1−ᾱ)) — needs
+    ``betas``; concentrates steps where the ODE moves fastest, which is
+    where low-step solvers like DPM-Solver++ earn their order), or a list
+    of ints.
     """
     if isinstance(section_counts, str):
+        if section_counts.startswith("logsnr"):
+            if betas is None:
+                raise ValueError(
+                    "logsnr spacing needs the schedule's betas to compute "
+                    "log-SNR values (pass timestep_respacing to "
+                    "create_diffusion, which forwards them)"
+                )
+            n = int(section_counts[len("logsnr"):])
+            if not 2 <= n <= num_timesteps:
+                raise ValueError(
+                    f"logsnr step count {n} not in [2, {num_timesteps}]"
+                )
+            ac = np.cumprod(1.0 - np.asarray(betas, np.float64))
+            lam = 0.5 * (np.log(ac) - np.log1p(-ac))
+            targets = np.linspace(lam[0], lam[-1], n)
+            idx = {int(np.argmin(np.abs(lam - t))) for t in targets}
+            # λ-plateau collisions: top up from uniform positions
+            for i in np.round(
+                np.linspace(0, num_timesteps - 1, n)
+            ).astype(int):
+                if len(idx) >= n:
+                    break
+                idx.add(int(i))
+            return idx
         if section_counts.startswith("ddim"):
             desired_count = int(section_counts[len("ddim"):])
             for i in range(1, num_timesteps):

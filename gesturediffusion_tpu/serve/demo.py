@@ -150,10 +150,12 @@ def main(argv=None):
 
     respacing = None
     if args.sample_steps:
-        respacing = (
-            f"ddim{args.sample_steps}" if args.sampler == "ddim"
-            else str(args.sample_steps)
-        )
+        if args.step_spacing == "logsnr":
+            respacing = f"logsnr{args.sample_steps}"
+        elif args.sampler == "ddim":
+            respacing = f"ddim{args.sample_steps}"
+        else:
+            respacing = str(args.sample_steps)
     diffusion = create_gaussian_diffusion(args, timestep_respacing=respacing)
 
     session = StreamingGestureSession(

@@ -107,6 +107,7 @@ class StreamingGestureSession:
         cond_mask_prob: float = 0.1,
         sampler: str = "ddpm",
         sample_steps: Optional[int] = None,
+        step_spacing: str = "uniform",
         diffusion: Optional[GaussianDiffusion] = None,
         diffusion_steps: int = 1000,
         noise_schedule: str = "cosine",
@@ -123,13 +124,23 @@ class StreamingGestureSession:
                 "pass either a prebuilt `diffusion` or `sample_steps` "
                 "(respacing is baked into the diffusion pytree), not both"
             )
+        if step_spacing not in ("uniform", "logsnr"):
+            raise ValueError(
+                f"unknown step_spacing {step_spacing!r} "
+                "(uniform | logsnr)"
+            )
         if diffusion is None:
             respacing = None
             if sample_steps is not None:
-                respacing = (
-                    f"ddim{sample_steps}" if sampler == "ddim"
-                    else str(sample_steps)
-                )
+                # logsnr spacing concentrates the respaced steps where
+                # the ODE moves fastest — measurably tighter low-step
+                # sampling for every solver (tests/test_diffusion.py)
+                if step_spacing == "logsnr":
+                    respacing = f"logsnr{sample_steps}"
+                elif sampler == "ddim":
+                    respacing = f"ddim{sample_steps}"
+                else:
+                    respacing = str(sample_steps)
             diffusion = create_diffusion(
                 steps=diffusion_steps,
                 noise_schedule=noise_schedule,

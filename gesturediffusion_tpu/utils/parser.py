@@ -212,6 +212,11 @@ def add_serve_options(parser: ArgumentParser):
     group.add_argument("--sample_steps", default=0, type=int,
                        help="Respace the sampler to N steps (the latency "
                             "knob); 0 = the full trained chain.")
+    group.add_argument("--step_spacing", default="uniform",
+                       choices=["uniform", "logsnr"], type=str,
+                       help="How respaced steps are placed: uniform "
+                            "timestep stride, or uniform in log-SNR "
+                            "(tighter low-step sampling).")
 
 
 def add_evaluation_options(parser: ArgumentParser):

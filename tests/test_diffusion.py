@@ -229,6 +229,38 @@ class TestSamplers:
                 d, lambda x, t, c: x, SHAPE, KEY, cond=None, order=3
             )
 
+    def test_logsnr_spacing_improves_low_step_error(self):
+        """logsnr respacing places steps uniform in λ — at 8 steps both
+        DDIM and DPM-Solver++ land measurably closer to the many-step
+        ODE limit than with the uniform timestep stride."""
+        def model(x, t, c):
+            return jnp.tanh(x) * 0.4
+
+        noise = jax.random.normal(jax.random.PRNGKey(3), SHAPE)
+        truth = sampling.ddim_sample_loop(
+            small_diffusion(steps=400), model, SHAPE,
+            jax.random.PRNGKey(5), cond=None, noise=noise,
+        )
+
+        def err(resp, loop):
+            d = small_diffusion(steps=400, timestep_respacing=resp)
+            out = loop(d, model, SHAPE, jax.random.PRNGKey(5), cond=None,
+                       noise=noise)
+            return float(jnp.max(jnp.abs(out - truth)))
+
+        for loop in (sampling.ddim_sample_loop, sampling.dpmpp_sample_loop):
+            assert err("logsnr8", loop) < err("8", loop)
+
+    def test_logsnr_spacing_validation(self):
+        with pytest.raises(ValueError, match="betas"):
+            schedules.space_timesteps(100, "logsnr8")  # no betas passed
+        betas = schedules.get_named_beta_schedule("cosine", 100)
+        with pytest.raises(ValueError, match="not in"):
+            schedules.space_timesteps(100, "logsnr1", betas=betas)
+        keep = schedules.space_timesteps(100, "logsnr10", betas=betas)
+        assert len(keep) == 10
+        assert 0 in keep and 99 in keep  # endpoints always kept
+
     def test_ddim_eta0_deterministic(self):
         d = small_diffusion(steps=10)
         x_true = jax.random.normal(KEY, SHAPE)
