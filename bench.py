@@ -137,6 +137,21 @@ Perf notes (measured on v5e, rounds 2-3; r1 -> r2 gesture
     taken — the rest is precision or model-architecture changes, not
     kernel engineering.
 
+Serving-path notes (round 3, measured on the chip, serve/streaming.py):
+  * B=1 incremental serving: DDPM-1000 94 ms/chunk (28x realtime);
+    below ~50 steps the wall latency floors at the tunnel's ~40 ms
+    dispatch+readback, so DDIM-50 and DPM-Solver++(2M)-20 both land
+    ~40-50 ms (~60x) — the step knob buys compute, the tunnel sets the
+    B=1 floor.  At B=82 the per-feed [82,498,80]f32 readback (~13 MB)
+    dominates through the tunnel (~775 ms/feed); incremental serving is
+    IO-bound there, which is why the batch path (whole take on device,
+    one readback) is the throughput layout and streaming is the
+    latency layout.
+  * dpmpp (DPM-Solver++ 2M, diffusion/sampling.py) + logsnr respacing:
+    at 8 steps on the convergence harness, error vs the 400-step ODE
+    limit is ~5x lower than uniform-spaced DDIM-8
+    (tests/test_diffusion.py) — the low-step serving pick.
+
 GDT_BENCH_CONFIG=humanml reports the round-1 secondary metric
 (HumanML3D samples/sec/chip, batch 32, guidance 2.5).
 """

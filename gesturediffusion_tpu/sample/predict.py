@@ -33,18 +33,24 @@ class Predictor:
         dataset_root: Optional[str] = None,
         guidance_param: float = 2.5,
         num_frames: int = 196,
+        model: Optional[MotionMDM] = None,
+        diffusion=None,
     ):
+        """``model``/``diffusion`` default to the reference predictor's
+        hardcoded humanml-encoder-512 / DDPM-1000 config (reference:
+        predict.py:31-50); overriding them serves other trained configs
+        (and keeps tests hermetic at tiny sizes)."""
         enable_compilation_cache()
         self.num_frames = num_frames
         self.guidance_param = guidance_param
 
-        # hardcoded humanml-encoder-512 config (reference: predict.py:31-50)
-        self.model = MotionMDM(
+        self.model = model or MotionMDM(
             njoints=263, nfeats=1, latent_dim=512, ff_size=1024,
             num_layers=8, num_heads=4, cond_mode="text",
             cond_mask_prob=0.1,
         )
-        self.diffusion = create_diffusion(
+        self.njoints = self.model.njoints
+        self.diffusion = diffusion or create_diffusion(
             steps=1000, noise_schedule="cosine",
             model_mean_type=ModelMeanType.START_X,
         )
@@ -58,8 +64,8 @@ class Predictor:
             self.mean = np.load(mean_p)
             self.std = np.load(std_p)
         else:
-            self.mean = np.zeros(263, np.float32)
-            self.std = np.ones(263, np.float32)
+            self.mean = np.zeros(self.njoints, np.float32)
+            self.std = np.ones(self.njoints, np.float32)
 
         from gesturediffusion_tpu.utils.text_embedder import get_text_encoder
 
@@ -83,10 +89,10 @@ class Predictor:
         seed: int = 0,
         motion_length: float = 6.0,
     ) -> dict:
-        """prompt -> dict(motion [R, 22, 3, T] xyz joints, features, length)."""
+        """prompt -> dict(motion [R, J, 3, T] xyz joints, features, length)."""
         n_frames = min(self.num_frames, int(motion_length * 20))
         b = num_repetitions
-        shape = (b, 263, 1, self.num_frames)
+        shape = (b, self.njoints, 1, self.num_frames)
 
         text_emb = jnp.asarray(self.text_encoder([prompt] * b))
         cond = {
@@ -114,9 +120,12 @@ class Predictor:
 
         feats = np.asarray(sample)[:, :, 0, :].transpose(0, 2, 1)
         feats = feats * self.std + self.mean
+        # humanml codec: feature dim = 12*J - 1 (root 4 + ric 3(J-1) +
+        # rot 6(J-1) + vel 3J + foot 4), so J recovers from njoints
+        n_joints = (self.njoints + 1) // 12
         xyz = np.asarray(
-            recover_from_ric(jnp.asarray(feats, jnp.float32), 22)
-        )  # [R, T, 22, 3]
+            recover_from_ric(jnp.asarray(feats, jnp.float32), n_joints)
+        )  # [R, T, J, 3]
         return {
             "motion_xyz": xyz[:, :n_frames].transpose(0, 2, 3, 1),
             "features": feats[:, :n_frames],
