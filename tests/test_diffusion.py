@@ -294,6 +294,27 @@ class TestSamplers:
             jnp.where(mask, out, 0.0), jnp.where(mask, gt, 0.0), atol=1e-5
         )
 
+    @pytest.mark.parametrize(
+        "loop",
+        [sampling.ddim_sample_loop, sampling.plms_sample_loop,
+         sampling.dpmpp_sample_loop],
+        ids=["ddim", "plms", "dpmpp"],
+    )
+    def test_inpainting_imputation_all_samplers(self, loop):
+        """The edit surface (sample/edit.py) relies on inpaint flowing
+        through p_mean_variance in EVERY sampler, not just DDPM."""
+        d = small_diffusion(steps=10)
+        gt = jax.random.normal(KEY, SHAPE)
+        mask = jnp.zeros(SHAPE, bool).at[:, :, :, :4].set(True)
+
+        out = loop(
+            d, lambda x, t, c: jnp.zeros_like(x), SHAPE,
+            jax.random.PRNGKey(3), None, inpaint=(mask, gt),
+        )
+        np.testing.assert_allclose(
+            jnp.where(mask, out, 0.0), jnp.where(mask, gt, 0.0), atol=1e-4
+        )
+
     def test_const_noise_gives_identical_samples(self):
         d = small_diffusion(steps=10)
 
