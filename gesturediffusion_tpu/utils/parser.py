@@ -184,7 +184,9 @@ def add_generate_options(parser: ArgumentParser):
     group.add_argument("--sampler", default="ddpm",
                        choices=["ddpm", "ddim", "plms", "dpmpp"], type=str)
     group.add_argument("--timestep_respacing", default="", type=str,
-                       help='e.g. "ddim50" for 50-step DDIM sampling.')
+                       help='e.g. "ddim50" (uniform 50-step stride) or '
+                            '"logsnr50" (50 steps uniform in log-SNR — '
+                            'tighter low-step sampling for any sampler).')
 
 
 def add_edit_options(parser: ArgumentParser):
