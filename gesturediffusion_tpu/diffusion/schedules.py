@@ -114,6 +114,29 @@ def space_timesteps(
     return set(all_steps)
 
 
+def respacing_string(
+    sample_steps: int | None,
+    sampler: str = "ddpm",
+    spacing: str = "uniform",
+) -> str | None:
+    """The ONE mapping from (sample_steps, sampler, spacing) to a
+    ``timestep_respacing`` string — shared by the streaming session and
+    the serving CLI so the two cannot diverge.
+
+    Returns None for no respacing (the full trained chain)."""
+    if spacing not in ("uniform", "logsnr"):
+        raise ValueError(
+            f"unknown step spacing {spacing!r} (uniform | logsnr)"
+        )
+    if not sample_steps:
+        return None
+    if spacing == "logsnr":
+        return f"logsnr{sample_steps}"
+    if sampler == "ddim":
+        return f"ddim{sample_steps}"
+    return str(sample_steps)
+
+
 def respaced_betas(
     base_betas: np.ndarray, use_timesteps: set[int]
 ) -> tuple[np.ndarray, np.ndarray]:

@@ -39,7 +39,7 @@ from gesturediffusion_tpu.utils.cache import enable_compilation_cache
 from gesturediffusion_tpu.utils.checkpoint import load_checkpoint
 from gesturediffusion_tpu.utils.fixseed import fixseed
 from gesturediffusion_tpu.utils.model_factory import create_model_and_diffusion
-from gesturediffusion_tpu.utils.parser import edit_args
+from gesturediffusion_tpu.utils.parser import default_output_dir, edit_args
 
 
 def build_edit_masks(
@@ -111,16 +111,9 @@ def main(argv=None):
         30 if args.dataset in ("genea2022", "genea2023", "synthetic") else 20
     )
 
-    out_path = args.output_dir
-    if out_path == "":
-        name = os.path.basename(os.path.dirname(args.model_path))
-        niter = os.path.basename(os.path.normpath(args.model_path)).replace(
-            "model", ""
-        )
-        out_path = os.path.join(
-            os.path.dirname(args.model_path),
-            f"edit_{name}_{niter}_{args.edit_mode}_seed{args.seed}",
-        )
+    out_path = args.output_dir or default_output_dir(
+        args.model_path, "edit", args.edit_mode, f"seed{args.seed}"
+    )
 
     log_lib.log("Loading dataset...")
     dataset = load_edit_dataset(args)

@@ -34,6 +34,7 @@ from gesturediffusion_tpu.utils.cache import enable_compilation_cache
 from gesturediffusion_tpu.utils.checkpoint import load_checkpoint
 from gesturediffusion_tpu.utils.fixseed import fixseed
 from gesturediffusion_tpu.utils.model_factory import create_model_and_diffusion
+from gesturediffusion_tpu.utils import parser as parser_lib
 from gesturediffusion_tpu.utils.parser import generate_args
 
 
@@ -64,16 +65,9 @@ def main(argv=None):
     enable_compilation_cache()
 
     fps = 30
-    out_path = args.output_dir
-    name = os.path.basename(os.path.dirname(args.model_path))
-    niter = os.path.basename(os.path.normpath(args.model_path)).replace(
-        "model", ""
+    out_path = args.output_dir or parser_lib.default_output_dir(
+        args.model_path, "samples", f"seed{args.seed}"
     )
-    if out_path == "":
-        out_path = os.path.join(
-            os.path.dirname(args.model_path),
-            f"samples_{name}_{niter}_seed{args.seed}",
-        )
 
     log_lib.log("Loading dataset...")
     dataset = get_dataset(

@@ -63,6 +63,13 @@ class Predictor:
         if os.path.isfile(mean_p):
             self.mean = np.load(mean_p)
             self.std = np.load(std_p)
+            if self.mean.shape[0] != self.njoints:
+                raise ValueError(
+                    f"dataset stats at {mean_p} are "
+                    f"{self.mean.shape[0]}-dim but the model expects "
+                    f"{self.njoints} features — pass the dataset_root "
+                    "matching this model (or none for unit stats)"
+                )
         else:
             self.mean = np.zeros(self.njoints, np.float32)
             self.std = np.ones(self.njoints, np.float32)

@@ -46,7 +46,8 @@ from gesturediffusion_tpu.utils.model_factory import (
     create_gaussian_diffusion,
     create_model_and_diffusion,
 )
-from gesturediffusion_tpu.utils.parser import serve_args
+from gesturediffusion_tpu.diffusion.schedules import respacing_string
+from gesturediffusion_tpu.utils.parser import default_output_dir, serve_args
 
 FPS = 30
 SR = 22050
@@ -79,16 +80,36 @@ def _dataset_chunk_feeder(dataset, streams: int, num_frames: int):
             )
         starts = [s * chunks_per_take for s in range(streams)]
 
-    def conds():
-        for k in range(chunks_per_take):
-            items = [dataset[starts[s] + k] for s in range(streams)]
-            _, cond = collate_gesture(items, max_frames=num_frames)
-            dc = device_cond(cond)
-            yield {"mfcc": np.asarray(dc["mfcc"])}
+    def chunk_cond(k):
+        items = [dataset[starts[s] + k] for s in range(streams)]
+        _, cond = collate_gesture(items, max_frames=num_frames)
+        # keep EVERY conditioning key (mfcc for the MFCC path, audio for
+        # wav-encoder checkpoints, masks/lengths when present); 'seed' is
+        # the session's on-device carry and must not come from the host
+        return {
+            k2: np.asarray(v)
+            for k2, v in device_cond(cond).items()
+            if k2 != "seed"
+        }, cond
 
-    first = [dataset[starts[s]] for s in range(streams)]
-    _, cond0 = collate_gesture(first, max_frames=num_frames)
-    init_seed = np.asarray(device_cond(cond0)["seed"])
+    first_cond, cond0 = chunk_cond(0)
+    if "seed" in cond0:
+        init_seed = np.asarray(cond0["seed"], np.float32)
+    else:
+        # dataset provides no GT seed poses: start from the z-normalized
+        # mean pose (zeros), same convention as the wav path
+        item0 = dataset[starts[0]]
+        j = np.asarray(item0["motion"]).shape[-1]
+        init_seed = np.zeros(
+            (streams, j, 1, getattr(dataset, "n_seed_poses", 10)),
+            np.float32,
+        )
+
+    def conds():
+        yield first_cond  # chunk 0 was already collated for the seed
+        for k in range(1, chunks_per_take):
+            yield chunk_cond(k)[0]
+
     return conds(), chunks_per_take, init_seed
 
 
@@ -127,16 +148,11 @@ def main(argv=None):
     set_prng_impl(getattr(args, "prng", "rbg"))
     enable_compilation_cache()
 
-    out_path = args.output_dir
-    if out_path == "":
-        name = os.path.basename(os.path.dirname(args.model_path))
-        niter = os.path.basename(
-            os.path.normpath(args.model_path)
-        ).replace("model", "")
-        out_path = os.path.join(
-            os.path.dirname(args.model_path),
-            f"serve_{name}_{niter}_seed{args.seed}",
-        )
+    out_path = args.output_dir or default_output_dir(
+        args.model_path, "serve", f"seed{args.seed}"
+    )
+    if args.num_chunks < 0:
+        raise SystemExit(f"--num_chunks must be >= 0, got {args.num_chunks}")
 
     log_lib.log("Loading dataset (stats + conditioning source)...")
     dataset = get_dataset(
@@ -148,15 +164,15 @@ def main(argv=None):
     model, _ = create_model_and_diffusion(args, dataset)
     params = load_checkpoint(args.model_path, model=model)["params"]
 
-    respacing = None
-    if args.sample_steps:
-        if args.step_spacing == "logsnr":
-            respacing = f"logsnr{args.sample_steps}"
-        elif args.sampler == "ddim":
-            respacing = f"ddim{args.sample_steps}"
-        else:
-            respacing = str(args.sample_steps)
-    diffusion = create_gaussian_diffusion(args, timestep_respacing=respacing)
+    # diffusion built from the checkpoint's own flags (sigma_small etc.,
+    # utils/model_factory.py) with the serving respacing applied; the
+    # respacing-string mapping is the session's own helper
+    diffusion = create_gaussian_diffusion(
+        args,
+        timestep_respacing=respacing_string(
+            args.sample_steps or None, args.sampler, args.step_spacing
+        ),
+    )
 
     session = StreamingGestureSession(
         model, params,
@@ -190,6 +206,7 @@ def main(argv=None):
 
     motion_s = args.num_frames / FPS
     chunks = []
+    compile_latency = 0.0
     for k, payload in enumerate(feeder):
         if k >= n_chunks:
             break
@@ -210,7 +227,13 @@ def main(argv=None):
         )
         if k == 0:
             compile_latency = dt
-            session.reset_stats()  # steady-state stats exclude compile
+            if n_chunks > 1:
+                # steady-state stats exclude compile; with a single
+                # chunk there IS no steady state — keep the stats so
+                # the report shows the one real latency, not zeros
+                session.reset_stats()
+    if not chunks:
+        raise SystemExit("no chunks served (empty source)")
 
     stats = session.stats()
     report = {
@@ -223,11 +246,25 @@ def main(argv=None):
         "steady_worst_latency_s": round(stats.worst_latency_s, 4),
         "realtime_speedup": round(stats.realtime_speedup, 2),
     }
+    if len(chunks) == 1:
+        report["note"] = "single chunk: steady fields include jit compile"
     log_lib.log("serving report: " + json.dumps(report))
 
     # ---- persist: results.npy + one BVH per stream ------------------- #
     from gesturediffusion_tpu.sample.generate import split_pose_vector
-    from gesturediffusion_tpu.viz.bvh import export_gesture_bvh
+    from gesturediffusion_tpu.viz.bvh import export_gesture_bvh, read_bvh
+
+    # same skeleton contract as sample/generate.py:258-270 — use the
+    # dataset's reference BVH (real joint names/offsets) when present
+    bvh_ref_path = os.path.join(
+        getattr(dataset, "datapath", ""),
+        "trn/main-agent/bvh/reference.bvh",
+    )
+    reference = (
+        read_bvh(bvh_ref_path, skip_motion=True)
+        if os.path.isfile(bvh_ref_path)
+        else None
+    )
 
     if os.path.exists(out_path):
         shutil.rmtree(out_path)
@@ -258,7 +295,8 @@ def main(argv=None):
     for s in range(args.streams):
         export_gesture_bvh(
             os.path.join(out_path, f"stream_{s}.bvh"),
-            rotations[s], motions[s][:, 0, :], fps=FPS,
+            rotations[s], motions[s][:, 0, :], reference=reference,
+            fps=FPS,
         )
     with open(os.path.join(out_path, "serving_report.json"), "w") as f:
         json.dump(report, f, indent=2)

@@ -119,33 +119,29 @@ class StreamingGestureSession:
         clip_denoised: bool = False,
         mesh: Optional[Any] = None,
     ):
-        if diffusion is not None and sample_steps is not None:
+        if diffusion is not None and (
+            sample_steps is not None or step_spacing != "uniform"
+        ):
             raise ValueError(
-                "pass either a prebuilt `diffusion` or `sample_steps` "
-                "(respacing is baked into the diffusion pytree), not both"
-            )
-        if step_spacing not in ("uniform", "logsnr"):
-            raise ValueError(
-                f"unknown step_spacing {step_spacing!r} "
-                "(uniform | logsnr)"
+                "pass either a prebuilt `diffusion` or "
+                "`sample_steps`/`step_spacing` (respacing is baked into "
+                "the diffusion pytree), not both"
             )
         if diffusion is None:
-            respacing = None
-            if sample_steps is not None:
-                # logsnr spacing concentrates the respaced steps where
-                # the ODE moves fastest — measurably tighter low-step
-                # sampling for every solver (tests/test_diffusion.py)
-                if step_spacing == "logsnr":
-                    respacing = f"logsnr{sample_steps}"
-                elif sampler == "ddim":
-                    respacing = f"ddim{sample_steps}"
-                else:
-                    respacing = str(sample_steps)
+            from gesturediffusion_tpu.diffusion.schedules import (
+                respacing_string,
+            )
+
+            # logsnr spacing concentrates the respaced steps where the
+            # ODE moves fastest — measurably tighter low-step sampling
+            # for every solver (tests/test_diffusion.py)
             diffusion = create_diffusion(
                 steps=diffusion_steps,
                 noise_schedule=noise_schedule,
                 model_mean_type=ModelMeanType.START_X,
-                timestep_respacing=respacing,
+                timestep_respacing=respacing_string(
+                    sample_steps, sampler, step_spacing
+                ),
             )
         self._diffusion = diffusion
 

@@ -56,6 +56,20 @@ def get_args_per_group_name(parser, args, group_name):
     raise ValueError(f"group_name {group_name} was not found")
 
 
+def default_output_dir(model_path: str, prefix: str, *parts: str) -> str:
+    """The CLIs' shared default output-dir naming (reference:
+    sample/generate.py:48-52): <ckpt dir>/<prefix>_<run>_<iter>[_parts...],
+    e.g. samples_run_000600000_seed10."""
+    name = os.path.basename(os.path.dirname(model_path))
+    niter = os.path.basename(os.path.normpath(model_path)).replace(
+        "model", ""
+    )
+    return os.path.join(
+        os.path.dirname(model_path),
+        "_".join([f"{prefix}_{name}_{niter}", *parts]),
+    )
+
+
 def get_model_path_from_args(argv=None):
     dummy = ArgumentParser()
     dummy.add_argument("--model_path", required=True)

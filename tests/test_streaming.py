@@ -175,6 +175,32 @@ class TestRespacedAndSamplers:
         assert out.shape == (B, J, 1, T)
         assert np.isfinite(out).all()
 
+    def test_diffusion_and_step_spacing_conflict(self):
+        """step_spacing can only be baked into a session-built diffusion;
+        silently ignoring it next to a prebuilt one would lie to the
+        caller (regression)."""
+        from gesturediffusion_tpu.diffusion import create_diffusion
+
+        model, params, _, _ = _build()
+        with pytest.raises(ValueError, match="prebuilt"):
+            StreamingGestureSession(
+                model, params, diffusion=create_diffusion(steps=STEPS),
+                step_spacing="logsnr", streams=B, chunk_frames=T,
+                seed_poses=S,
+            )
+
+    def test_logsnr_spacing_session_runs(self):
+        model, params, seed0, chunk_mfcc = _build()
+        session = StreamingGestureSession(
+            model, params, guidance_param=GUIDANCE, streams=B,
+            chunk_frames=T, seed_poses=S, diffusion_steps=STEPS,
+            sampler="dpmpp", sample_steps=4, step_spacing="logsnr",
+        )
+        assert session._diffusion.num_timesteps == 4
+        session.start(seed0, rng=0)
+        out = session.feed({"mfcc": chunk_mfcc[0]})
+        assert np.isfinite(out).all()
+
     def test_diffusion_and_sample_steps_conflict(self):
         model, params, _, _ = _build()
         diffusion = create_diffusion(
