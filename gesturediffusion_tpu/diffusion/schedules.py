@@ -129,6 +129,13 @@ def respacing_string(
             f"unknown step spacing {spacing!r} (uniform | logsnr)"
         )
     if not sample_steps:
+        if spacing != "uniform":
+            # the full chain visits every step — there is nothing for a
+            # non-uniform spacing to choose; ignoring it would lie
+            raise ValueError(
+                f"step spacing {spacing!r} requires sample_steps "
+                "(the full chain is not respaced)"
+            )
         return None
     if spacing == "logsnr":
         return f"logsnr{sample_steps}"

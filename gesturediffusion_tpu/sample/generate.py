@@ -56,6 +56,41 @@ def split_pose_vector(vec: np.ndarray, n_joints: int):
     return pos, rot
 
 
+def take_layout(dataset):
+    """Per-take window layout of a dataset split, in DATASET-LOCAL
+    indices (the ones ``dataset[i]`` accepts).
+
+    ``samples_cumulative`` is a whole-corpus table; splits that window a
+    contiguous slice of it (Genea2022's 70/30 split stores the slice
+    offset in ``dataset.begin`` and adds it inside ``__getitem__``) must
+    have that offset subtracted before the boundaries are usable as
+    item indices.  Returns ``(counts, starts, take_ids)`` over the takes
+    that have at least one window in this split (``take_ids`` indexes
+    ``dataset.takes`` for naming), or ``None`` when the dataset has no
+    take structure.
+    """
+    if not hasattr(dataset, "samples_cumulative"):
+        return None
+    cum = np.asarray(dataset.samples_cumulative, dtype=np.int64)
+    begin = int(getattr(dataset, "begin", 0))
+    bounds = np.clip(cum - begin, 0, len(dataset))
+    starts = np.concatenate([[0], bounds[:-1]])
+    counts = bounds - starts
+    (keep,) = np.nonzero(counts > 0)
+    return counts[keep], starts[keep], keep
+
+
+def load_reference_skeleton(dataset):
+    """The dataset's reference BVH skeleton (real joint names/offsets),
+    parsed once, or None when the asset is absent (synthetic runs)."""
+    from gesturediffusion_tpu.viz.bvh import read_bvh
+
+    path = os.path.join(
+        getattr(dataset, "datapath", ""), "trn/main-agent/bvh/reference.bvh"
+    )
+    return read_bvh(path, skip_motion=True) if os.path.isfile(path) else None
+
+
 def main(argv=None):
     args = generate_args(argv)
     fixseed(args.seed)
@@ -81,15 +116,17 @@ def main(argv=None):
 
     # takes / chunks: the reference hardcodes 41 takes x 14 chunks; we take
     # what the val split actually has, capped by num_samples.
-    if hasattr(dataset, "samples_cumulative"):
-        cum = np.asarray(dataset.samples_cumulative)
-        per_take = np.diff(np.concatenate([[0], cum]))
+    layout = take_layout(dataset)
+    if layout is not None:
+        per_take, take_starts, take_ids = layout
         n_takes = min(args.num_samples, len(per_take))
         chunks_per_take = int(per_take[:n_takes].min())
     else:
         n_takes = min(args.num_samples, len(dataset))
         chunks_per_take = 1
-        cum = np.arange(1, len(dataset) + 1)
+        per_take = np.ones(len(dataset), np.int64)
+        take_starts = np.arange(len(dataset), dtype=np.int64)
+        take_ids = take_starts
 
     log_lib.log(
         f"Generating {n_takes} takes x {chunks_per_take} chunks "
@@ -128,10 +165,9 @@ def main(argv=None):
     for chunk in range(chunks_per_take):
         items = []
         for take in range(n_takes):
-            chunk_index = (0 if take == 0 else int(cum[take - 1])) + chunk
-            if chunk_index >= int(cum[take]):
+            if chunk >= int(per_take[take]):
                 raise ValueError(f"chunk {chunk} out of range for take {take}")
-            items.append(dataset[chunk_index])
+            items.append(dataset[int(take_starts[take]) + chunk])
         gt_motion, cond = collate_gesture(items, max_frames=args.num_frames)
         chunk_dconds.append(device_cond(cond))
         chunk_gts.append(gt_motion)
@@ -242,7 +278,7 @@ def main(argv=None):
         fw.write("\n".join(str(int(l)) for l in lengths))
 
     # ---- visualization + BVH export -------------------------------- #
-    from gesturediffusion_tpu.viz.bvh import export_gesture_bvh, read_bvh
+    from gesturediffusion_tpu.viz.bvh import export_gesture_bvh
     from gesturediffusion_tpu.viz.plot import plot_3d_motion
 
     chains = (
@@ -250,21 +286,15 @@ def main(argv=None):
         if n_joints >= 83
         else [[i, i + 1] for i in range(n_joints - 1)]
     )
-    bvh_ref_path = os.path.join(
-        getattr(dataset, "datapath", ""), "trn/main-agent/bvh/reference.bvh"
-    )
     takes = getattr(dataset, "takes", [f"take_{i}" for i in range(n_takes)])
 
     # parse the reference skeleton ONCE (read_bvh tokenizes the whole
     # file; re-reading per take wastes seconds of host time on large BVHs)
-    reference = (
-        read_bvh(bvh_ref_path, skip_motion=True)
-        if os.path.isfile(bvh_ref_path)
-        else None
-    )
+    reference = load_reference_skeleton(dataset)
 
     for i in range(n_takes):
-        save_file = takes[i] if i < len(takes) else f"take_{i}"
+        t = int(take_ids[i])
+        save_file = takes[t] if t < len(takes) else f"take_{t}"
         anim_path = os.path.join(out_path, str(save_file))
         log_lib.log(f"Saving take {i}: {save_file}")
         try:

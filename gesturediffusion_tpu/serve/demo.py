@@ -53,7 +53,8 @@ FPS = 30
 SR = 22050
 
 
-def _dataset_chunk_feeder(dataset, streams: int, num_frames: int):
+def _dataset_chunk_feeder(dataset, streams: int, num_frames: int,
+                          seed_poses: int):
     """Yield per-chunk cond dicts from the val split (batch-path layout:
     stream s serves take s; chunk k is that take's k-th window), plus the
     GT seed for chunk 0.
@@ -61,16 +62,18 @@ def _dataset_chunk_feeder(dataset, streams: int, num_frames: int):
     Datasets without take structure (no ``samples_cumulative``, e.g. the
     synthetic smoke dataset) partition their windows into ``streams``
     contiguous runs and serve each run as consecutive chunks."""
-    if hasattr(dataset, "samples_cumulative"):
-        cum = np.asarray(dataset.samples_cumulative)
-        per_take = np.diff(np.concatenate([[0], cum]))
+    from gesturediffusion_tpu.sample.generate import take_layout
+
+    layout = take_layout(dataset)
+    if layout is not None:
+        per_take, take_starts, _ = layout
         if streams > len(per_take):
             raise SystemExit(
                 f"--streams {streams} > {len(per_take)} takes in the "
                 "val split"
             )
         chunks_per_take = int(per_take[:streams].min())
-        starts = [0 if s == 0 else int(cum[s - 1]) for s in range(streams)]
+        starts = [int(take_starts[s]) for s in range(streams)]
     else:
         chunks_per_take = len(dataset) // streams
         if chunks_per_take == 0:
@@ -97,13 +100,11 @@ def _dataset_chunk_feeder(dataset, streams: int, num_frames: int):
         init_seed = np.asarray(cond0["seed"], np.float32)
     else:
         # dataset provides no GT seed poses: start from the z-normalized
-        # mean pose (zeros), same convention as the wav path
+        # mean pose (zeros), same convention as the wav path; sized by
+        # the SESSION's seed_poses (the dataset has none to consult)
         item0 = dataset[starts[0]]
         j = np.asarray(item0["motion"]).shape[-1]
-        init_seed = np.zeros(
-            (streams, j, 1, getattr(dataset, "n_seed_poses", 10)),
-            np.float32,
-        )
+        init_seed = np.zeros((streams, j, 1, seed_poses), np.float32)
 
     def conds():
         yield first_cond  # chunk 0 was already collated for the seed
@@ -123,10 +124,12 @@ def _wav_chunk_feeder(path: str, dataset, streams: int, num_frames: int,
     if sr != SR:
         raise SystemExit(f"--wav must be {SR} Hz mono (got {sr} Hz); "
                          f"resample first (e.g. ffmpeg -ar {SR})")
-    if audio.ndim > 1:
-        audio = audio.mean(axis=1)
+    # int->float BEFORE the stereo downmix: mean(axis=1) promotes to
+    # float64 and would skip the integer-scale normalization
     if np.issubdtype(audio.dtype, np.integer):
         audio = audio.astype(np.float32) / np.iinfo(audio.dtype).max
+    if audio.ndim > 1:
+        audio = audio.mean(axis=1)
     window = int(num_frames * SR / FPS)
     n = len(audio) // window
     if n == 0:
@@ -192,7 +195,7 @@ def main(argv=None):
         )
     else:
         feeder, n_chunks, init_seed = _dataset_chunk_feeder(
-            dataset, args.streams, args.num_frames
+            dataset, args.streams, args.num_frames, args.seed_poses
         )
     if args.num_chunks:
         n_chunks = min(n_chunks, args.num_chunks)
@@ -251,20 +254,15 @@ def main(argv=None):
     log_lib.log("serving report: " + json.dumps(report))
 
     # ---- persist: results.npy + one BVH per stream ------------------- #
-    from gesturediffusion_tpu.sample.generate import split_pose_vector
-    from gesturediffusion_tpu.viz.bvh import export_gesture_bvh, read_bvh
+    from gesturediffusion_tpu.sample.generate import (
+        load_reference_skeleton,
+        split_pose_vector,
+    )
+    from gesturediffusion_tpu.viz.bvh import export_gesture_bvh
 
-    # same skeleton contract as sample/generate.py:258-270 — use the
-    # dataset's reference BVH (real joint names/offsets) when present
-    bvh_ref_path = os.path.join(
-        getattr(dataset, "datapath", ""),
-        "trn/main-agent/bvh/reference.bvh",
-    )
-    reference = (
-        read_bvh(bvh_ref_path, skip_motion=True)
-        if os.path.isfile(bvh_ref_path)
-        else None
-    )
+    # same skeleton contract as sample/generate.py — use the dataset's
+    # reference BVH (real joint names/offsets) when present
+    reference = load_reference_skeleton(dataset)
 
     if os.path.exists(out_path):
         shutil.rmtree(out_path)

@@ -6,6 +6,7 @@ classifier tars, reference: eval/a2m/stgcn/evaluate.py:22,
 eval/a2m/gru_eval.py:60-68).
 """
 
+import numpy as np
 import pytest
 
 from gesturediffusion_tpu.eval.eval_a2m import (
@@ -68,3 +69,114 @@ class TestFullModeRefuses:
         ev = make_a2m_evaluation("uestc")
         assert ev is not None
         assert "RANDOM frozen" in capsys.readouterr().out
+
+
+class TestTakeLayout:
+    """take_layout must return DATASET-LOCAL indices even for splits
+    that window an offset slice of the corpus (Genea2022's 70/30
+    split adds dataset.begin inside __getitem__)."""
+
+    class _Corpus:
+        """3 takes of 4/2/6 windows; the split sees local [0, len)."""
+
+        samples_cumulative = np.array([4, 6, 12])
+
+        def __init__(self, begin=0, end=12):
+            self.begin, self._len = begin, end - begin
+
+        def __len__(self):
+            return self._len
+
+    def test_no_offset(self):
+        from gesturediffusion_tpu.sample.generate import take_layout
+
+        counts, starts, ids = take_layout(self._Corpus())
+        assert counts.tolist() == [4, 2, 6]
+        assert starts.tolist() == [0, 4, 6]
+        assert ids.tolist() == [0, 1, 2]
+
+    def test_val_offset_drops_leading_takes(self):
+        from gesturediffusion_tpu.sample.generate import take_layout
+
+        # val split = last 30% of 12 windows -> begin=8 (inside take 2)
+        counts, starts, ids = take_layout(self._Corpus(begin=8))
+        assert counts.tolist() == [4]
+        assert starts.tolist() == [0]
+        assert ids.tolist() == [2]
+
+    def test_train_end_clips_trailing_take(self):
+        from gesturediffusion_tpu.sample.generate import take_layout
+
+        # train split = first 70% -> end=8 (take 2 half-covered)
+        counts, starts, ids = take_layout(self._Corpus(end=8))
+        assert counts.tolist() == [4, 2, 2]
+        assert starts.tolist() == [0, 4, 6]
+        assert ids.tolist() == [0, 1, 2]
+
+    def test_straddling_offset(self):
+        from gesturediffusion_tpu.sample.generate import take_layout
+
+        # begin=5 lands inside take 1: its 1 remaining window leads
+        counts, starts, ids = take_layout(self._Corpus(begin=5))
+        assert counts.tolist() == [1, 6]
+        assert starts.tolist() == [0, 1]
+        assert ids.tolist() == [1, 2]
+
+    def test_no_take_structure(self):
+        from gesturediffusion_tpu.sample.generate import take_layout
+
+        assert take_layout(object()) is None
+
+
+class TestWavFeeder:
+    def _write_wav(self, tmp_path, data):
+        from scipy.io import wavfile
+
+        p = str(tmp_path / "in.wav")
+        wavfile.write(p, 22050, data)
+        return p
+
+    class _Stats:
+        pose_dim = 6
+
+    def test_stereo_int16_is_normalized(self, tmp_path):
+        """Regression: the downmix promoted int16 to float64 BEFORE the
+        integer check, feeding +-32767-range samples to the MFCC."""
+        from gesturediffusion_tpu.serve.demo import _wav_chunk_feeder
+
+        n = 22050 * 2
+        mono = (np.sin(np.linspace(0, 800, n)) * 20000).astype(np.int16)
+        stereo = np.stack([mono, mono], axis=1)
+        wav = self._write_wav(tmp_path, stereo)
+        windows, _, _ = _wav_chunk_feeder(wav, self._Stats(), 1, 30, 10)
+        w = next(windows)
+        assert np.abs(w).max() <= 1.0
+        assert np.abs(w).max() > 0.1  # not silently zeroed either
+
+    def test_mono_float_passthrough(self, tmp_path):
+        from gesturediffusion_tpu.serve.demo import _wav_chunk_feeder
+
+        data = (np.random.RandomState(0).randn(22050) * 0.1).astype(
+            np.float32
+        )
+        wav = self._write_wav(tmp_path, data)
+        windows, n, seed = _wav_chunk_feeder(wav, self._Stats(), 2, 30, 7)
+        assert seed.shape == (2, 6, 1, 7)
+        np.testing.assert_allclose(next(windows), data[: 22050 * 30 // 30])
+
+
+class TestRespacingString:
+    def test_logsnr_without_steps_raises(self):
+        from gesturediffusion_tpu.diffusion.schedules import (
+            respacing_string,
+        )
+
+        with pytest.raises(ValueError, match="requires sample_steps"):
+            respacing_string(None, "ddim", "logsnr")
+
+    def test_uniform_without_steps_is_full_chain(self):
+        from gesturediffusion_tpu.diffusion.schedules import (
+            respacing_string,
+        )
+
+        assert respacing_string(None, "ddpm", "uniform") is None
