@@ -194,6 +194,13 @@ def evaluate_matching_score(eval_wrapper, motion_loaders, log=print):
             all_size += text_emb.shape[0]
             all_motion_embeddings.append(motion_emb)
 
+        if all_size == 0:
+            raise ValueError(
+                f"motion loader {name!r} yielded no batches — the split "
+                "is smaller than the fixed R-precision batch size (32); "
+                "use a larger dataset (reference: eval_humanml.py:232 "
+                "asserts batch_size 32)"
+            )
         matching_score = matching_score_sum / all_size
         r_precision = top_k_count / all_size
         match_score_dict[name] = matching_score
@@ -353,10 +360,26 @@ def load_eval_renorm(dataset, log=None, dataset_name="humanml"):
     (reference: data_loaders/humanml/data/dataset.py:756)."""
     log = log or log_lib.log
     prefix = "kit" if dataset_name == "kit" else "t2m"
-    mean_p = os.path.join("dataset", f"{prefix}_mean.npy")
-    std_p = os.path.join("dataset", f"{prefix}_std.npy")
-    if os.path.isfile(mean_p) and os.path.isfile(std_p):
-        return (dataset.mean, dataset.std, np.load(mean_p), np.load(std_p))
+    # cwd first (reference convention: repo-root `dataset/`), then the
+    # stats this package ships (dataset/ next to the package dir), so
+    # the renorm works out of the box regardless of invocation dir
+    repo_dataset = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
+        "dataset",
+    )
+    for d in ("dataset", repo_dataset):
+        mean_p = os.path.join(d, f"{prefix}_mean.npy")
+        std_p = os.path.join(d, f"{prefix}_std.npy")
+        if os.path.isfile(mean_p) and os.path.isfile(std_p):
+            ev_mean, ev_std = np.load(mean_p), np.load(std_p)
+            if ev_mean.shape != np.shape(dataset.mean):
+                # synthetic / reduced-dim fixtures: the real T2M stats
+                # do not apply — renorm would broadcast-error downstream
+                log(f"{prefix} evaluator stats are {ev_mean.shape[0]}-dim "
+                    f"but the dataset is {np.shape(dataset.mean)[0]}-dim "
+                    "— skipping renorm (NOT metric-parity)")
+                return None
+            return (dataset.mean, dataset.std, ev_mean, ev_std)
     log(f"{prefix} evaluator norm stats not found — generated motions "
         "evaluated in training normalization (NOT metric-parity)")
     return None

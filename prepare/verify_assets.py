@@ -31,6 +31,7 @@ import argparse
 import hashlib
 import json
 import os
+import shutil
 import sys
 from typing import Callable, Optional
 
@@ -269,6 +270,22 @@ def check_unconstrained_npy(path: str):
     return status, f"motions={len(arr)} first={np.asarray(arr[0]).shape}"
 
 
+def check_eval_norm_stats(path: str):
+    """T2M/KIT evaluator-convention mean/std (263-/251-dim), shipped
+    in-repo (the reference vendors them at dataset/{t2m,kit}_{mean,std}
+    .npy); both halves must exist and agree in shape."""
+    mean = np.load(path)
+    std = np.load(path.replace("_mean.npy", "_std.npy"))
+    want = 251 if "kit" in os.path.basename(path) else 263
+    if mean.shape != (want,) or std.shape != (want,):
+        raise ValueError(
+            f"expected ({want},) stats, got {mean.shape}/{std.shape}"
+        )
+    if not (std > 0).all():
+        raise ValueError("std has non-positive entries")
+    return OK, f"dim={want} mean[0]={mean[0]:.4g}"
+
+
 # (name, env var, default relative path, is_dir, check fn)
 ASSETS: list[tuple[str, Optional[str], str, bool, Callable]] = [
     ("SMPL neutral model", "SMPL_MODEL_PATH",
@@ -296,6 +313,10 @@ ASSETS: list[tuple[str, Optional[str], str, bool, Callable]] = [
     ("Unconstrained GT motions", "UNCONSTRAINED_DATASET_PATH",
      "dataset/HumanAct12Poses/humanact12_unconstrained_modi_struct.npy",
      False, check_unconstrained_npy),
+    ("T2M eval norm stats (shipped)", None, "dataset/t2m_mean.npy",
+     False, check_eval_norm_stats),
+    ("KIT eval norm stats (shipped)", None, "dataset/kit_mean.npy",
+     False, check_eval_norm_stats),
 ]
 
 
@@ -579,6 +600,17 @@ def make_synthetic_assets(root: str) -> str:
            "humanact12_unconstrained_modi_struct.npy"),
         rs.randn(32, 16, 3, 60).astype(np.float32),
     )
+
+    # the T2M/KIT eval norm stats ship in-repo (they're real, not
+    # synthetic): mirror them into the stand-in root so a hermetic run
+    # checks the same files a real deployment would
+    repo_dataset = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "dataset")
+    for fn in ("t2m_mean.npy", "t2m_std.npy",
+               "kit_mean.npy", "kit_std.npy"):
+        src = os.path.join(repo_dataset, fn)
+        if os.path.isfile(src):
+            shutil.copyfile(src, at(f"dataset/{fn}"))
     return root
 
 

@@ -184,7 +184,16 @@ class TestReviewFixesRound2b:
 
         got = load_eval_renorm(DS(), dataset_name="kit")
         assert got is not None and got[2].shape == (251,)
-        # humanml needs t2m_* which is absent here -> no renorm
+        # humanml needs t2m_* — absent in cwd, so it must come from the
+        # repo-shipped dataset/t2m_{mean,std}.npy (263-dim T2M stats)
+        class DS263:
+            mean = np.zeros(263, np.float32)
+            std = np.ones(263, np.float32)
+
+        got_t2m = load_eval_renorm(DS263(), dataset_name="humanml")
+        assert got_t2m is not None and got_t2m[2].shape == (263,)
+        # reduced-dim (synthetic) datasets must NOT renorm with the
+        # real 263-dim stats — that would broadcast-error downstream
         assert load_eval_renorm(DS(), dataset_name="humanml") is None
 
     def test_joints2smpl_autoloads_gmm_prior(self, tmp_path, monkeypatch):
