@@ -205,6 +205,13 @@ class GaussianDiffusion:
         nd = x.ndim
         model_output = model_fn(x, self.model_t(t), cond)
 
+        if self.model_var_type in (ModelVarType.LEARNED, ModelVarType.LEARNED_RANGE):
+            c = x.shape[1]
+            model_output, model_var_values = jnp.split(model_output, [c], axis=1)
+
+        # imputation targets the (x0-prediction) mean channels, so it must
+        # run AFTER the learned-variance split — before it, the 2C-channel
+        # output would shape-clash with the C-channel ground truth
         if inpaint is not None:
             assert self.model_mean_type == ModelMeanType.START_X, (
                 "inpainting imputation supports START_X prediction only"
@@ -213,8 +220,6 @@ class GaussianDiffusion:
             model_output = jnp.where(inpainting_mask, inpainted_motion, model_output)
 
         if self.model_var_type in (ModelVarType.LEARNED, ModelVarType.LEARNED_RANGE):
-            c = x.shape[1]
-            model_output, model_var_values = jnp.split(model_output, [c], axis=1)
             if self.model_var_type == ModelVarType.LEARNED:
                 model_log_variance = model_var_values
                 model_variance = jnp.exp(model_log_variance)
@@ -291,7 +296,9 @@ class GaussianDiffusion:
         loss = sum_flat(((a - b) ** 2) * mask.astype(a.dtype))
         n_entries = a.shape[1] * a.shape[2]
         non_zero = sum_flat(mask.astype(a.dtype)) * n_entries
-        return loss / non_zero
+        # an all-padding sample (fully zero mask row) has loss 0; without
+        # the clamp it would be 0/0 = NaN and poison the whole batch mean
+        return loss / jnp.maximum(non_zero, 1.0)
 
     def _vb_terms_bpd(
         self, model_fn, x_start, x_t, t, cond, *, clip_denoised=False, inpaint=None
@@ -374,6 +381,10 @@ class GaussianDiffusion:
         if self.lambda_rcxyz > 0:
             terms["rcxyz_mse"] = self.masked_l2(target_xyz, model_output_xyz, mask)
 
+        # NOTE: vel_xyz_mse is reported for monitoring but — exactly like
+        # the reference (gaussian_diffusion.py:1345-1348 omits it from the
+        # loss sum) — it does NOT contribute to terms["loss"]; the knob is
+        # kept for flag parity, not as a training lever.
         if self.lambda_vel_rcxyz > 0:
             t_vel = target_xyz[..., 1:] - target_xyz[..., :-1]
             m_vel = model_output_xyz[..., 1:] - model_output_xyz[..., :-1]
@@ -461,10 +472,20 @@ def create_diffusion(
     alphas_cumprod_next = np.append(alphas_cumprod[1:], 0.0)
 
     posterior_variance = betas * (1.0 - alphas_cumprod_prev) / (1.0 - alphas_cumprod)
-    posterior_log_variance_clipped = np.log(
-        np.append(posterior_variance[1], posterior_variance[1:])
-    )
-    fixed_large_variance = np.append(posterior_variance[1], betas[1:])
+    if num_timesteps > 1:
+        posterior_log_variance_clipped = np.log(
+            np.append(posterior_variance[1], posterior_variance[1:])
+        )
+        fixed_large_variance = np.append(posterior_variance[1], betas[1:])
+    else:
+        # one-step chain (e.g. --sample_steps 1): there is no t=1 entry to
+        # borrow a nonzero variance from; clamp so the log is finite
+        # (posterior_variance[0] is exactly 0 — deterministic samplers
+        # never read it, and a DDPM step at t=0 adds no noise anyway)
+        posterior_log_variance_clipped = np.log(
+            np.maximum(posterior_variance, 1e-20)
+        )
+        fixed_large_variance = betas.copy()
 
     def arr(x):
         return jnp.asarray(x, dtype)

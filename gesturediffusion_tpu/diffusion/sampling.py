@@ -27,6 +27,7 @@ from gesturediffusion_tpu.diffusion.gaussian import (
     CondFn,
     GaussianDiffusion,
     ModelFn,
+    _extract,
 )
 
 
@@ -49,6 +50,9 @@ def _init_sample(
     x = noise if noise is not None else jax.random.normal(
         jax.random.fold_in(rng, num_steps), shape
     )
+    # every scan body emits float32 (loops that support carry_dtype re-cast
+    # afterwards) — a non-f32 caller noise would type-clash the scan carry
+    x = x.astype(jnp.float32)
     if skip_timesteps and init_image is None:
         init_image = jnp.zeros(shape, x.dtype)
     if init_image is not None:
@@ -192,8 +196,6 @@ def ddim_sample(
     eps = diffusion.predict_eps_from_xstart(x, t, out["pred_xstart"])
 
     nd = x.ndim
-    from gesturediffusion_tpu.diffusion.gaussian import _extract
-
     alpha_bar = _extract(diffusion.alphas_cumprod, t, nd)
     alpha_bar_prev = _extract(diffusion.alphas_cumprod_prev, t, nd)
     sigma = (
@@ -225,12 +227,8 @@ def ddim_reverse_sample(
     out = diffusion.p_mean_variance(
         model_fn, x, t, cond, clip_denoised=clip_denoised, denoised_fn=denoised_fn
     )
-    from gesturediffusion_tpu.diffusion.gaussian import _extract
-
     nd = x.ndim
-    eps = (
-        _extract(diffusion.sqrt_recip_alphas_cumprod, t, nd) * x - out["pred_xstart"]
-    ) / _extract(diffusion.sqrt_recipm1_alphas_cumprod, t, nd)
+    eps = diffusion.predict_eps_from_xstart(x, t, out["pred_xstart"])
     alpha_bar_next = _extract(diffusion.alphas_cumprod_next, t, nd)
     mean_pred = (
         out["pred_xstart"] * jnp.sqrt(alpha_bar_next)
@@ -312,7 +310,6 @@ def plms_sample_loop(
     order = int(order)
     x, num_steps = _init_sample(diffusion, shape, rng, noise, skip_timesteps, init_image)
 
-    from gesturediffusion_tpu.diffusion.gaussian import _extract
 
     def get_eps_xstart(xc, t):
         out_orig = diffusion.p_mean_variance(

@@ -519,3 +519,100 @@ class TestResamplers:
 
         s2 = step(s, jnp.asarray([1, 1]), jnp.asarray([0.5, 0.7]))
         assert int(s2.counts[1]) == 2
+
+
+class TestReviewFixesRound3c:
+    """Regressions from the diffusion-package review (round 3)."""
+
+    def test_all_zero_mask_row_is_finite(self):
+        """A fully-padded sample (all-zero mask row) must contribute
+        loss 0, not 0/0=NaN poisoning the batch mean."""
+        d = small_diffusion(steps=20)
+        x0 = jax.random.normal(KEY, SHAPE)
+        t = jnp.asarray([3, 5, 10, 19])
+        mask = jnp.ones((SHAPE[0], 1, 1, SHAPE[3]), bool)
+        mask = mask.at[1].set(False)
+        noise = jax.random.normal(jax.random.PRNGKey(1), SHAPE)
+
+        def model(x, tt, cond):
+            return jnp.zeros_like(x)
+
+        terms = d.training_losses(model, x0, t, None, mask=mask, noise=noise)
+        assert np.isfinite(np.asarray(terms["loss"])).all()
+        assert float(terms["loss"][1]) == 0.0
+        assert float(terms["loss"][0]) > 0.0
+
+    def test_one_step_chain_constructs_and_samples(self):
+        """--sample_steps 1 (respacing '1') used to IndexError building
+        the posterior tables; a 1-step DDIM must run."""
+        d = create_diffusion(
+            steps=100, model_mean_type=ModelMeanType.START_X,
+            timestep_respacing="1",
+        )
+        assert d.num_timesteps == 1
+        x0 = jax.random.normal(KEY, SHAPE)
+        out = sampling.ddim_sample_loop(
+            d, perfect_model(x0), SHAPE, KEY, None
+        )
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_non_f32_noise_accepted(self):
+        """Caller-provided bf16 noise must not type-clash the scan
+        carry (every body emits f32)."""
+        d = small_diffusion(steps=8)
+        x0 = jax.random.normal(KEY, SHAPE)
+        noise = jax.random.normal(KEY, SHAPE, jnp.bfloat16)
+        for loop in (sampling.p_sample_loop, sampling.ddim_sample_loop,
+                     sampling.dpmpp_sample_loop):
+            out = loop(d, perfect_model(x0), SHAPE, KEY, None, noise=noise)
+            assert out.dtype == jnp.float32
+            assert np.isfinite(np.asarray(out)).all()
+
+    def test_inpaint_with_learned_range_variance(self):
+        """Imputation must run on the mean channels, i.e. AFTER the
+        learned-variance split (used to shape-clash at trace time)."""
+        d = create_diffusion(
+            steps=10, model_mean_type=ModelMeanType.START_X,
+            model_var_type=ModelVarType.LEARNED_RANGE,
+        )
+        B, J, F, T = SHAPE
+        gt = jax.random.normal(KEY, SHAPE)
+        inp_mask = jnp.zeros((B, 1, 1, T), bool).at[..., : T // 2].set(True)
+
+        def model2c(x, tt, cond):  # mean + var channels
+            return jnp.concatenate([gt, jnp.zeros_like(x)], axis=1)
+
+        out = d.p_mean_variance(
+            model2c, jax.random.normal(KEY, SHAPE),
+            jnp.zeros((B,), jnp.int32), None, inpaint=(inp_mask, gt),
+        )
+        np.testing.assert_allclose(
+            np.asarray(out["pred_xstart"][..., : T // 2]),
+            np.asarray(gt[..., : T // 2]), rtol=1e-6,
+        )
+
+    def test_vel_rcxyz_reported_but_not_in_loss(self):
+        """Reference parity: gaussian_diffusion.py:1345-1348 omits
+        vel_xyz_mse from the loss sum; so do we — pin that."""
+        def fk(x):
+            return x[:, :3]
+
+        kw = dict(model_mean_type=ModelMeanType.START_X)
+        d0 = create_diffusion(steps=20, **kw)
+        d1 = create_diffusion(steps=20, lambda_vel_rcxyz=5.0, **kw)
+        x0 = jax.random.normal(KEY, SHAPE)
+        t = jnp.asarray([3, 5, 10, 19])
+        mask = jnp.ones((SHAPE[0], 1, 1, SHAPE[3]), bool)
+        noise = jax.random.normal(jax.random.PRNGKey(1), SHAPE)
+
+        def model(x, tt, cond):
+            return x * 0.9
+
+        t0 = d0.training_losses(model, x0, t, None, mask=mask, noise=noise)
+        t1 = d1.training_losses(
+            model, x0, t, None, mask=mask, noise=noise, fk_fn=fk
+        )
+        assert "vel_xyz_mse" in t1 and "vel_xyz_mse" not in t0
+        np.testing.assert_allclose(
+            np.asarray(t0["loss"]), np.asarray(t1["loss"]), rtol=1e-6
+        )
