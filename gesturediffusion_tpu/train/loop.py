@@ -250,9 +250,14 @@ def make_train_step(
                    "param_norm": global_norm(new_params),
                    "nonfinite_skips": new_skips}
         for name, val in terms.items():
-            metrics[name] = jnp.mean(val)
+            # importance-weighted, like the reference's log_loss_dict
+            # (training_loop.py:242-245 logs losses * weights) — so the
+            # logged "loss" IS the optimized objective, not overwritten
+            # by an unweighted mean
+            wval = val * weights
+            metrics[name] = jnp.mean(wval)
             for qname, qval in quartile_means(
-                t, val, diffusion.num_timesteps
+                t, wval, diffusion.num_timesteps
             ).items():
                 metrics[f"{name}_{qname}"] = qval
 
@@ -327,14 +332,14 @@ class TrainLoop:
             if config.ema_rate > 0
             else {}
         )
-        self.state = TrainState(
+        self.state = self._place_state(TrainState(
             step=jnp.asarray(0, jnp.int32),
             params=init_params,
             opt_state=tx.init(init_params),
             ema_params=ema,
             sampler=sampler,
             model_state=init_model_state or {},
-        )
+        ))
         self.train_step = make_train_step(
             diffusion, apply_fn, tx, config, fk_fn=fk_fn
         )
@@ -353,6 +358,29 @@ class TrainLoop:
     # ------------------------------------------------------------------ #
     # Checkpointing (Orbax; `model{step:09d}` naming contract)
     # ------------------------------------------------------------------ #
+    def _place_state(self, state: "TrainState") -> "TrainState":
+        """Commit every train-state leaf to the (global) mesh.
+
+        Replicated by default; when the mesh has a model axis > 1,
+        params/EMA/optimizer moments get the TP kernel sharding
+        (mesh_lib.shard_params_tp — Adam's mu/nu mirror the kernel
+        shapes, so the same shape heuristic places them consistently).
+        Multi-host jit REQUIRES globally-placed inputs (process-local
+        arrays from model.init cannot feed a global-mesh program);
+        single-host this just commits to the local devices.  Applied at
+        init and after every checkpoint load."""
+        state = mesh_lib.replicate(self.mesh, state)
+        if self.mesh.shape.get("model", 1) > 1:
+            def tp(tree):
+                return mesh_lib.shard_params_tp(tree, self.mesh)
+            state = state.replace(
+                params=tp(state.params),
+                opt_state=tp(state.opt_state),
+                ema_params=tp(state.ema_params)
+                if state.ema_params else state.ema_params,
+            )
+        return state
+
     def _ckpt_dir(self, step: int) -> str:
         return os.path.abspath(
             os.path.join(self.config.save_dir, f"model{step:09d}")
@@ -393,7 +421,7 @@ class TrainLoop:
         restored = ckptr.restore(os.path.abspath(path), item=template)
         step = parse_resume_step_from_filename(path)
         ms_keys = set(self.state.model_state)
-        self.state = TrainState(
+        self.state = self._place_state(TrainState(
             step=jnp.asarray(step, jnp.int32),
             params={k: v for k, v in restored["params"].items()
                     if k not in ms_keys},
@@ -402,7 +430,7 @@ class TrainLoop:
             sampler=_restore_sampler(self.state.sampler, restored["sampler"]),
             model_state={k: v for k, v in restored["params"].items()
                          if k in ms_keys},
-        )
+        ))
         self.resume_step = step
         self.host_step = step
         log_lib.log(f"resumed from {path} at step {step}")
@@ -445,14 +473,14 @@ class TrainLoop:
                 _advance, opt_state,
                 is_leaf=lambda s: isinstance(s, optax.ScaleByScheduleState),
             )
-        self.state = TrainState(
+        self.state = self._place_state(TrainState(
             step=jnp.asarray(step, jnp.int32),
             params=params,
             opt_state=opt_state,
             ema_params=ema,
             sampler=self.state.sampler,
             model_state=model_state or self.state.model_state,
-        )
+        ))
         self.resume_step = step
         self.host_step = step
         log_lib.log(
@@ -545,10 +573,14 @@ def parse_resume_step_from_filename(path: str) -> int:
 
 
 def find_latest_checkpoint(save_dir: str) -> Optional[str]:
+    """Newest `model{N}` checkpoint dir by STEP NUMBER (lexicographic
+    order would misorder non-zero-padded names).  Wired to
+    `--resume_checkpoint latest` in train_mdm."""
     if not os.path.isdir(save_dir):
         return None
     ckpts = sorted(
-        d for d in os.listdir(save_dir) if re.fullmatch(r"model\d+", d)
+        (d for d in os.listdir(save_dir) if re.fullmatch(r"model\d+", d)),
+        key=lambda d: int(d[len("model"):]),
     )
     return os.path.join(save_dir, ckpts[-1]) if ckpts else None
 

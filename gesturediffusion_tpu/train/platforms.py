@@ -8,6 +8,8 @@ imports; NoPlatform is the default.
 
 from __future__ import annotations
 
+import os
+
 
 class TrainPlatform:
     def __init__(self, save_dir: str):
@@ -44,7 +46,9 @@ class ClearmlPlatform(TrainPlatform):
     def __init__(self, save_dir: str):
         from clearml import Task  # optional dep
 
-        path, name = save_dir.rsplit("/", 1)
+        # os.path.split handles slash-free and trailing-slash save_dirs
+        # (reference: train/train_platforms.py ClearmlPlatform)
+        name = os.path.basename(os.path.normpath(save_dir))
         self.task = Task.init(
             project_name="gesturediffusion_tpu", task_name=name
         )

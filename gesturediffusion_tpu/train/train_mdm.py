@@ -42,14 +42,17 @@ def main(argv=None):
 
     dist_lib.maybe_initialize()
 
-    train_platform = create_platform(args.train_platform_type, args.save_dir)
-    train_platform.report_args(vars(args), name="Args")
-
+    # save_dir guard BEFORE the platform: TensorboardPlatform's
+    # SummaryWriter mkdirs save_dir in its constructor, which would trip
+    # the exists-check on every fresh run
     if args.save_dir is None:
         raise FileNotFoundError("save_dir was not specified.")
     if os.path.exists(args.save_dir) and not args.overwrite:
         raise FileExistsError(f"save_dir [{args.save_dir}] already exists.")
     os.makedirs(args.save_dir, exist_ok=True)
+
+    train_platform = create_platform(args.train_platform_type, args.save_dir)
+    train_platform.report_args(vars(args), name="Args")
 
     log_lib.log("creating data loader...")
     data = get_dataset_loader(
@@ -213,8 +216,11 @@ def main(argv=None):
 
             def eval_fn(state, step):
                 rng = jax.random.PRNGKey(args.seed + 12345)
+                # full variables dict: mutable collections (batch_stats
+                # for use_wav_enc BatchNorm) live in state.model_state
+                variables = {**state.params, **state.model_state}
                 losses = [
-                    float(val_loss(state.params, vm, vc,
+                    float(val_loss(variables, vm, vc,
                                    jax.random.fold_in(rng, i)))
                     for i, (vm, vc) in enumerate(val_batches)
                 ]
@@ -240,13 +246,23 @@ def main(argv=None):
         init_model_state=model_state,
     )
     if args.resume_checkpoint:
+        from gesturediffusion_tpu.train.loop import find_latest_checkpoint
         from gesturediffusion_tpu.utils.checkpoint import TORCH_SUFFIXES
 
-        if args.resume_checkpoint.endswith(TORCH_SUFFIXES):
+        resume = args.resume_checkpoint
+        if resume == "latest":
+            # crash-recovery convenience: newest model* dir in save_dir
+            resume = find_latest_checkpoint(args.save_dir)
+            if resume is None:
+                raise FileNotFoundError(
+                    f"--resume_checkpoint latest: no model* checkpoint "
+                    f"under {args.save_dir}"
+                )
+        if resume.endswith(TORCH_SUFFIXES):
             # fine-tune from a reference torch checkpoint
-            loop.load_torch(args.resume_checkpoint, model)
+            loop.load_torch(resume, model)
         else:
-            loop.load(args.resume_checkpoint)
+            loop.load(resume)
     log_lib.log("training...")
     loop.run_loop()
     train_platform.close()

@@ -444,3 +444,92 @@ class TestSharding:
         ):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=5e-4)
+
+
+class TestReviewFixesRound3d:
+    """Regressions from the train/parallel package review (round 3)."""
+
+    def test_find_latest_checkpoint_numeric_order(self, tmp_path):
+        from gesturediffusion_tpu.train.loop import find_latest_checkpoint
+
+        assert find_latest_checkpoint(str(tmp_path / "nope")) is None
+        for n in ("model9", "model10", "model000000002"):
+            (tmp_path / n).mkdir()
+        # lexicographic would pick 'model9'; numeric must pick 10
+        got = find_latest_checkpoint(str(tmp_path))
+        assert os.path.basename(got) == "model10"
+
+    def test_trainloop_places_state_on_mesh(self, tmp_path):
+        """TrainLoop must commit its state to the mesh at init: on a
+        (data=4, model=2) mesh, large kernels (and their Adam moments)
+        get the TP sharding without the caller invoking
+        shard_params_tp."""
+        model = MDM(njoints=J, latent_dim=256, num_layers=1, ff_size=256,
+                    seed_poses=S, cl_head=4, window_size=10,
+                    cond_mask_prob=0.1)
+        diffusion = create_diffusion(
+            steps=8, model_mean_type=ModelMeanType.START_X
+        )
+        ds = SyntheticGesture(n_items=16, window=T, pose_dim=J,
+                              n_seed_poses=S)
+        data = DataLoader(ds, batch_size=8, collate_fn=collate_gesture,
+                          num_workers=1)
+        from gesturediffusion_tpu.data.collate import device_cond
+
+        _, cond = next(iter(data))
+        cond = {k: jnp.asarray(v) for k, v in device_cond(cond).items()}
+        params = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((8, J, 1, T)),
+            jnp.zeros((8,), jnp.int32), cond,
+        )
+        cfg = TrainConfig(save_dir=str(tmp_path / "run"), lr=1e-3,
+                          num_steps=1, batch_size=8)
+        mesh = mesh_lib.make_mesh(model=2)
+        loop = TrainLoop(cfg, diffusion, apply_fn=lambda p, x, t, c,
+                         rngs=None: model.apply(p, x, t, c, train=True,
+                                                rngs=rngs),
+                         init_params=params, data=data, mesh=mesh)
+
+        specs = {
+            ".".join(str(k.key) for k in path): leaf.sharding.spec
+            for path, leaf in jax.tree_util.tree_leaves_with_path(
+                loop.state.params
+            )
+        }
+        tp_specs = [s for s in specs.values() if "model" in str(s)]
+        assert tp_specs, f"no TP-sharded kernel found: {specs}"
+        # Adam moments mirror the kernel shapes -> same placement
+        opt_tp = [
+            leaf for leaf in jax.tree_util.tree_leaves(loop.state.opt_state)
+            if hasattr(leaf, "sharding")
+            and "model" in str(getattr(leaf.sharding, "spec", ""))
+        ]
+        assert opt_tp, "optimizer moments not TP-sharded"
+        # and the placed state still trains
+        motion, cond2 = next(iter(loop.data))
+        dcond = {k: jnp.asarray(v)
+                 for k, v in device_cond(cond2).items()}
+        motion = mesh_lib.shard_batch(mesh, jnp.asarray(motion))
+        dcond = mesh_lib.shard_batch(mesh, dcond)
+        new_state, metrics = loop.train_step(
+            loop.state, motion, dcond, jax.random.PRNGKey(1)
+        )
+        assert np.isfinite(float(metrics["loss"]))
+
+    def test_logged_loss_is_weighted_objective(self, tmp_path):
+        """metrics['loss'] (and the per-term means) must be the
+        importance-WEIGHTED values the optimizer sees, matching the
+        reference's log_loss_dict(losses * weights)."""
+        loop = tiny_setup(tmp_path)
+        from gesturediffusion_tpu.data.collate import device_cond
+
+        motion, cond = next(iter(loop.data))
+        dcond = {k: jnp.asarray(v) for k, v in device_cond(cond).items()}
+        new_state, metrics = loop.train_step(
+            loop.state, jnp.asarray(motion), dcond, jax.random.PRNGKey(3)
+        )
+        # uniform sampler: weights == 1, so rot_mse mean must equal the
+        # optimized loss exactly (both weighted)
+        np.testing.assert_allclose(
+            float(metrics["loss"]), float(metrics["rot_mse"]), rtol=1e-6
+        )
