@@ -21,6 +21,23 @@ import jax.numpy as jnp
 from gesturediffusion_tpu.diffusion.gaussian import ModelFn
 
 
+def stack_cfg_cond(cond: dict, b: int, dtype=jnp.float32) -> dict:
+    """Duplicate every per-sample conditioning leaf on the batch axis and
+    append the uncond mask [zeros(B), ones(B)] — the ONE stacking rule
+    shared by the generic CFG wrapper and the fast path's
+    precompute_cfg (reference: model/cfg_sampler.py:33-40)."""
+    def stack(leaf):
+        if hasattr(leaf, "shape") and leaf.shape and leaf.shape[0] == b:
+            return jnp.concatenate([leaf, leaf], axis=0)
+        return leaf
+
+    cond2 = {k: stack(v) for k, v in cond.items() if k != "uncond"}
+    cond2["uncond"] = jnp.concatenate(
+        [jnp.zeros((b,), dtype), jnp.ones((b,), dtype)], axis=0
+    )
+    return cond2
+
+
 def classifier_free_guidance(
     model_fn: ModelFn, cond_mask_prob: float = 0.1
 ) -> ModelFn:
@@ -40,17 +57,7 @@ def classifier_free_guidance(
 
         x2 = jnp.concatenate([x, x], axis=0)
         t2 = jnp.concatenate([t, t], axis=0)
-
-        def stack(leaf):
-            if isinstance(leaf, jax.Array) or hasattr(leaf, "shape"):
-                if leaf.shape and leaf.shape[0] == b:
-                    return jnp.concatenate([leaf, leaf], axis=0)
-            return leaf
-
-        cond2 = {k: stack(v) for k, v in cond.items() if k != "uncond"}
-        cond2["uncond"] = jnp.concatenate(
-            [jnp.zeros((b,), x.dtype), jnp.ones((b,), x.dtype)], axis=0
-        )
+        cond2 = stack_cfg_cond(cond, b, x.dtype)
         out = model_fn(x2, t2, cond2)
         out_cond, out_uncond = out[:b], out[b:]
         return out_uncond + scale * (out_cond - out_uncond)

@@ -88,3 +88,19 @@ def apply_rotary_pos_emb(
     q = q * cos + rotate_half(q) * sin
     k = k * cos + rotate_half(k) * sin
     return q, k
+
+
+def mask_cond(cond2d, uncond, cond_mask_prob, train, rng=None):
+    """Per-sample conditioning dropout, shared by every denoiser
+    (reference: model/mdm.py:242-250 mask_cond).
+
+    Zeros cond2d [B, C] rows where `uncond` is set (forced CFG
+    unconditional branch), plus bernoulli(cond_mask_prob) random rows
+    during training.  ONE implementation so CFG-dropout semantics cannot
+    drift between MDM / MotionMDM / MDMOld."""
+    keep = 1.0 - uncond.astype(cond2d.dtype)[:, None]
+    out = cond2d * keep
+    if train and cond_mask_prob > 0.0:
+        bern = jax.random.bernoulli(rng, cond_mask_prob, (cond2d.shape[0], 1))
+        out = out * (1.0 - bern.astype(cond2d.dtype))
+    return out

@@ -32,6 +32,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from gesturediffusion_tpu.models import embeddings
 from gesturediffusion_tpu.models.embeddings import (
     TimestepEmbedder,
     apply_rotary_pos_emb,
@@ -155,19 +156,19 @@ class MDM(nn.Module):
 
     @property
     def audio_feat_dim(self) -> int:
-        return 32 if self.use_wav_enc else self.mfcc_dim
+        # mfcc takes precedence, matching __call__ (line ~233): with both
+        # flags set the MFCC branch runs, so the projection width (and the
+        # fast path's w_proj split in mdm_fastpath.py) must follow it
+        return self.mfcc_dim if self.mfcc_input else (
+            32 if self.use_wav_enc else self.mfcc_dim
+        )
 
     def _mask_cond(self, cond2d, uncond, train, rng=None):
         """Zero conditioning per-sample: forced (uncond) and/or random CFG
         dropout during training (reference: model/mdm.py:242-250)."""
-        keep = 1.0 - uncond.astype(cond2d.dtype)[:, None]
-        out = cond2d * keep
-        if train and self.cond_mask_prob > 0.0:
-            bern = jax.random.bernoulli(
-                rng, self.cond_mask_prob, (cond2d.shape[0], 1)
-            )
-            out = out * (1.0 - bern.astype(cond2d.dtype))
-        return out
+        return embeddings.mask_cond(
+            cond2d, uncond, self.cond_mask_prob, train, rng
+        )
 
     @nn.compact
     def __call__(

@@ -281,18 +281,10 @@ def make_fast_cfg_fn(
     precompute, fast_fn = make_fast_model_fn(model, params, layout=layout)
 
     def precompute_cfg(cond: dict) -> dict:
+        from gesturediffusion_tpu.models.cfg import stack_cfg_cond
+
         b = cond["seed"].shape[0]
-
-        def stack(leaf):
-            if hasattr(leaf, "shape") and leaf.shape and leaf.shape[0] == b:
-                return jnp.concatenate([leaf, leaf], axis=0)
-            return leaf
-
-        cond2 = {k: stack(v) for k, v in cond.items() if k != "uncond"}
-        cond2["uncond"] = jnp.concatenate(
-            [jnp.zeros((b,), jnp.float32), jnp.ones((b,), jnp.float32)]
-        )
-        out = precompute(cond2)
+        out = precompute(stack_cfg_cond(cond, b))
         # keep the ORIGINAL [B] scale for the combine
         out["scale"] = cond["scale"]
         return out

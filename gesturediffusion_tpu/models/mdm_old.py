@@ -14,6 +14,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from gesturediffusion_tpu.models import embeddings
 from gesturediffusion_tpu.models.embeddings import (
     PositionalEncoding,
     TimestepEmbedder,
@@ -40,14 +41,9 @@ class MDMOld(nn.Module):
     dtype: Any = jnp.float32
 
     def _mask_cond(self, cond2d, uncond, train, rng=None):
-        keep = 1.0 - uncond.astype(cond2d.dtype)[:, None]
-        out = cond2d * keep
-        if train and self.cond_mask_prob > 0.0:
-            bern = jax.random.bernoulli(
-                rng, self.cond_mask_prob, (cond2d.shape[0], 1)
-            )
-            out = out * (1.0 - bern.astype(cond2d.dtype))
-        return out
+        return embeddings.mask_cond(
+            cond2d, uncond, self.cond_mask_prob, train, rng
+        )
 
     @nn.compact
     def __call__(
@@ -59,6 +55,8 @@ class MDMOld(nn.Module):
         train: bool = False,
     ) -> jax.Array:
         bs, njoints, nfeats, nframes = x.shape
+        # computation dtype: params stay f32, activations in self.dtype
+        x = x.astype(self.dtype)
         uncond = cond.get("uncond")
         if uncond is None:
             uncond = jnp.zeros((bs,), x.dtype)
@@ -68,10 +66,13 @@ class MDMOld(nn.Module):
             else None
         )
 
-        emb = TimestepEmbedder(self.latent_dim, name="embed_timestep")(timesteps)
+        emb = TimestepEmbedder(self.latent_dim, name="embed_timestep")(
+            timesteps
+        ).astype(x.dtype)
 
-        flat_seed = cond["seed"].reshape(bs, -1)
-        emb_seed = SeedPoseEncoder(self.latent_dim, name="seed_pose_encoder")(
+        flat_seed = cond["seed"].astype(x.dtype).reshape(bs, -1)
+        emb_seed = SeedPoseEncoder(self.latent_dim, dtype=self.dtype,
+                                   name="seed_pose_encoder")(
             self._mask_cond(flat_seed, uncond, train, mask_rng)
         )
         emb = emb + emb_seed  # [B, D]
@@ -80,7 +81,8 @@ class MDMOld(nn.Module):
         mfccs = cond["mfcc"].astype(x.dtype)
         xa = jnp.concatenate([x, mfccs], axis=1)
         feats = xa.reshape(bs, -1, nframes).transpose(0, 2, 1)  # [B,T,(J+A)F]
-        h = nn.Dense(self.latent_dim, name="input_process")(feats)
+        h = nn.Dense(self.latent_dim, dtype=self.dtype,
+                     name="input_process")(feats)
 
         xseq = jnp.concatenate([emb[:, None, :], h], axis=1)  # [B, T+1, D]
         xseq = PositionalEncoding(
@@ -94,10 +96,12 @@ class MDMOld(nn.Module):
             dim_feedforward=self.ff_size,
             dropout=self.dropout,
             activation=self.activation,
+            dtype=self.dtype,
             name="seqTransEncoder",
         )(xseq, deterministic=not train)
 
         out = out[:, 1:]
-        out = nn.Dense(self.njoints * self.nfeats, name="output_process")(out)
+        out = nn.Dense(self.njoints * self.nfeats, dtype=self.dtype,
+                       name="output_process")(out)
         out = out.reshape(bs, nframes, self.njoints, self.nfeats)
-        return out.transpose(0, 2, 3, 1)
+        return out.transpose(0, 2, 3, 1).astype(jnp.float32)

@@ -23,6 +23,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from gesturediffusion_tpu.models import embeddings
 from gesturediffusion_tpu.models.embeddings import (
     PositionalEncoding,
     TimestepEmbedder,
@@ -51,14 +52,9 @@ class MotionMDM(nn.Module):
     dtype: Any = jnp.float32
 
     def _mask_cond(self, cond2d, uncond, train, rng=None):
-        keep = 1.0 - uncond.astype(cond2d.dtype)[:, None]
-        out = cond2d * keep
-        if train and self.cond_mask_prob > 0.0:
-            bern = jax.random.bernoulli(
-                rng, self.cond_mask_prob, (cond2d.shape[0], 1)
-            )
-            out = out * (1.0 - bern.astype(cond2d.dtype))
-        return out
+        return embeddings.mask_cond(
+            cond2d, uncond, self.cond_mask_prob, train, rng
+        )
 
     @nn.compact
     def __call__(
@@ -92,11 +88,15 @@ class MotionMDM(nn.Module):
                 self._mask_cond(enc_text, uncond, train, mask_rng)
             )
         elif self.cond_mode == "action":
+            # mask AFTER the embedding, like the reference's EmbedAction
+            # lookup (model/mdm.py:526-530 masks action_emb) — masking the
+            # one-hot before a biased Dense would leak the bias into the
+            # 'unconditional' CFG branch (and diverge from the torch
+            # export, which folds the bias into the embedding rows)
             onehot = jax.nn.one_hot(cond["action"], self.num_actions, dtype=x.dtype)
-            emb = emb + nn.Dense(self.latent_dim, dtype=self.dtype,
-                             name="embed_action")(
-                self._mask_cond(onehot, uncond, train, mask_rng)
-            )
+            act_emb = nn.Dense(self.latent_dim, dtype=self.dtype,
+                               name="embed_action")(onehot)
+            emb = emb + self._mask_cond(act_emb, uncond, train, mask_rng)
         elif self.cond_mode != "no_cond":
             raise ValueError(f"unknown cond_mode {self.cond_mode}")
 

@@ -253,14 +253,36 @@ def load_smpl_pickle(path: str, dtype=jnp.float32) -> SMPLModel:
     shapedirs = _to_np(data["shapedirs"])[..., :10]
     posedirs = _to_np(data["posedirs"])
     posedirs = posedirs.reshape(-1, posedirs.shape[-1]).T  # [(J-1)*9, V*3]
+    v_template = _to_np(data["v_template"])
+    n_verts = v_template.shape[0]
+
+    # surface-joint vertex ids: official pkls don't carry them (the real
+    # SMPL mesh uses the constant table); synthetic stand-ins persist
+    # theirs.  For a small mesh the constant ids would be out of range —
+    # JAX clamps gathers SILENTLY, so remap deterministically instead.
+    if "vertex_joint_ids" in data:
+        vertex_ids = tuple(int(i) for i in data["vertex_joint_ids"])
+    else:
+        vertex_ids = tuple(
+            SMPL_VERTEX_JOINT_IDS[n] for n in SMPL_VERTEX_JOINT_ORDER
+        )
+        if n_verts <= max(vertex_ids):
+            vertex_ids = tuple(i % n_verts for i in vertex_ids)
+    extra = (
+        jnp.asarray(_to_np(data["J_regressor_extra"]), dtype)
+        if "J_regressor_extra" in data
+        else None
+    )
     return SMPLModel(
-        v_template=jnp.asarray(_to_np(data["v_template"]), dtype),
+        v_template=jnp.asarray(v_template, dtype),
         shapedirs=jnp.asarray(shapedirs, dtype),
         posedirs=jnp.asarray(posedirs, dtype),
         j_regressor=jnp.asarray(_to_np(data["J_regressor"]), dtype),
         lbs_weights=jnp.asarray(_to_np(data["weights"]), dtype),
+        j_regressor_extra=extra,
         parents=_parents_from_kintree(data) if "kintree_table" in data
         else SMPL_PARENTS,
+        vertex_joint_ids=vertex_ids,
     )
 
 
@@ -296,6 +318,11 @@ def save_synthetic_smpl_pickle(
         "J_regressor": np.asarray(m.j_regressor),
         "weights": np.asarray(m.lbs_weights),
         "kintree_table": kintree,
+        # non-official extras so the round trip preserves the synthetic
+        # model's surface joints + vibe regressor (the real pkl omits
+        # them; the loader falls back to the constant tables)
+        "vertex_joint_ids": np.asarray(m.vertex_joint_ids, np.int64),
+        "J_regressor_extra": np.asarray(m.j_regressor_extra),
     }
     with open(path, "wb") as f:
         pickle.dump(data, f)

@@ -43,6 +43,10 @@ class MultiheadSelfAttention(nn.Module):
         mask: Optional[jax.Array] = None,
         deterministic: bool = True,
     ) -> jax.Array:
+        """``mask`` is broadcastable to [B, H, T, T] with **True = may
+        attend** (JAX/flax convention) — the INVERSE of torch's
+        src_mask/key_padding_mask, where True means masked.  Negate any
+        mask ported from reference torch code."""
         b, t, d = x.shape
         assert d % self.num_heads == 0
         dh = d // self.num_heads

@@ -70,6 +70,13 @@ def create_model(args, data=None):
     dataset = args.dataset
     if dataset in GESTURE_DATASETS:
         use_wav_enc = getattr(args, "use_wav_enc", False)
+        if getattr(args, "mfcc_input", False) and use_wav_enc:
+            # ambiguous: __call__ would run the MFCC branch and leave the
+            # wav encoder inert — refuse rather than silently pick
+            raise ValueError(
+                "--mfcc_input and --use_wav_enc are mutually exclusive "
+                "(the model consumes ONE audio representation)"
+            )
         # audio features are required: MFCCs unless the wav encoder
         # was explicitly requested
         mfcc_input = getattr(args, "mfcc_input", False) or not use_wav_enc

@@ -270,3 +270,67 @@ class TestCFG:
     def test_requires_cond_dropout(self):
         with pytest.raises(AssertionError):
             classifier_free_guidance(lambda x, t, c: x, cond_mask_prob=0.0)
+
+
+class TestReviewFixesRound3e:
+    """Regressions from the models-package review (round 3)."""
+
+    def test_action_uncond_is_truly_unconditional(self):
+        """CFG uncond branch must be independent of the action id: the
+        reference masks AFTER the embedding lookup (model/mdm.py EmbedAction),
+        so Dense bias must not leak through."""
+        from gesturediffusion_tpu.models.mdm_t2m import MotionMDM
+
+        model = MotionMDM(njoints=8, latent_dim=32, num_layers=1,
+                          ff_size=64, cond_mode="action", num_actions=5,
+                          cond_mask_prob=0.1)
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 1, 6))
+        t = jnp.asarray([1, 2])
+        uncond = jnp.ones((2,), jnp.float32)
+        c0 = {"action": jnp.asarray([0, 0]), "uncond": uncond}
+        c3 = {"action": jnp.asarray([3, 4]), "uncond": uncond}
+        params = model.init(jax.random.PRNGKey(1), x, t, c0)
+        np.testing.assert_allclose(
+            np.asarray(model.apply(params, x, t, c0)),
+            np.asarray(model.apply(params, x, t, c3)), rtol=1e-6,
+        )
+
+    def test_audio_feat_dim_matches_call_precedence(self):
+        from gesturediffusion_tpu.models.mdm import MDM
+
+        # both flags set: __call__ runs the MFCC branch, so the property
+        # must report the MFCC width (the fastpath splits w_proj with it)
+        assert MDM(mfcc_input=True, use_wav_enc=True).audio_feat_dim == 26
+        assert MDM(mfcc_input=False, use_wav_enc=True).audio_feat_dim == 32
+        assert MDM(mfcc_input=True, use_wav_enc=False).audio_feat_dim == 26
+
+    def test_model_factory_rejects_ambiguous_audio_flags(self):
+        from types import SimpleNamespace
+
+        from gesturediffusion_tpu.utils.model_factory import create_model
+
+        args = SimpleNamespace(
+            dataset="genea2023", mfcc_input=True, use_wav_enc=True,
+            use_text=False, seed_poses=10, latent_dim=64, layers=2,
+            num_frames=20, cond_mask_prob=0.1, unconstrained=False,
+            arch="trans_enc",
+        )
+        with pytest.raises(ValueError, match="mutually exclusive"):
+            create_model(args, None)
+
+    def test_mdm_old_bf16_runs(self):
+        from gesturediffusion_tpu.models.mdm_old import MDMOld
+
+        model = MDMOld(njoints=8, latent_dim=32, num_layers=1, ff_size=64,
+                       seed_poses=2, mfcc_dim=4, dtype=jnp.bfloat16)
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 1, 6))
+        t = jnp.asarray([1, 2])
+        cond = {"mfcc": jnp.zeros((2, 4, 1, 6)),
+                "seed": jnp.zeros((2, 8, 1, 2))}
+        params = model.init(jax.random.PRNGKey(1), x, t, cond)
+        out = model.apply(params, x, t, cond)
+        assert out.dtype == jnp.float32  # output re-cast like siblings
+        assert np.isfinite(np.asarray(out)).all()
+        # params stay f32
+        k = jax.tree_util.tree_leaves(params)[0]
+        assert k.dtype == jnp.float32

@@ -142,3 +142,49 @@ class TestA2MEvalSmoke:
         assert metrics["accuracy_gt"] == metrics["accuracy_gen"]
         assert metrics["diversity_gt"] > 0
         assert np.isfinite(metrics["multimodality_gt"])
+
+
+class TestSyntheticPickleRoundTrip:
+    def test_vertex_ids_and_extra_regressor_survive(self, tmp_path):
+        """The synthetic pkl persists its surface-joint ids + vibe
+        regressor; without them the loader's constant 6890-vertex id
+        table would be silently CLAMPED by JAX gathers on a 96-vertex
+        mesh (21 joints all reading vertex 95)."""
+        from gesturediffusion_tpu.models.smpl import (
+            load_smpl_pickle,
+            make_synthetic_smpl,
+            save_synthetic_smpl_pickle,
+        )
+
+        p = str(tmp_path / "smpl.pkl")
+        save_synthetic_smpl_pickle(p, n_vertices=96, seed=3)
+        ref = make_synthetic_smpl(n_vertices=96, seed=3)
+        got = load_smpl_pickle(p)
+        assert got.vertex_joint_ids == ref.vertex_joint_ids
+        assert max(got.vertex_joint_ids) < 96
+        np.testing.assert_allclose(
+            np.asarray(got.j_regressor_extra),
+            np.asarray(ref.j_regressor_extra), rtol=1e-6,
+        )
+
+    def test_small_official_layout_remaps_ids_in_range(self, tmp_path):
+        """An official-layout pkl (no vertex_joint_ids key) smaller than
+        the real mesh must get deterministic in-range ids, not clamped
+        gathers."""
+        import pickle
+
+        from gesturediffusion_tpu.models.smpl import (
+            load_smpl_pickle,
+            save_synthetic_smpl_pickle,
+        )
+
+        p = str(tmp_path / "smpl.pkl")
+        save_synthetic_smpl_pickle(p, n_vertices=96, seed=0)
+        with open(p, "rb") as f:
+            data = pickle.load(f)
+        del data["vertex_joint_ids"], data["J_regressor_extra"]
+        with open(p, "wb") as f:
+            pickle.dump(data, f)
+        got = load_smpl_pickle(p)
+        assert max(got.vertex_joint_ids) < 96
+        assert len(set(got.vertex_joint_ids)) > 1  # not one clamped vertex
