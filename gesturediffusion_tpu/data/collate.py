@@ -20,6 +20,11 @@ from typing import Optional, Sequence
 import numpy as np
 
 
+# gesture audio contract: 22050 Hz at 30 fps (BASELINE.md pose/window
+# config row; reference: data_loaders/gesture/data/dataset.py:10)
+AUDIO_SAMPLES_PER_FRAME = 22050 // 30
+
+
 def lengths_to_mask(lengths: np.ndarray, max_len: int) -> np.ndarray:
     from gesturediffusion_tpu.data import native
 
@@ -73,10 +78,16 @@ def collate_gesture(
         cond["seed"] = seed
 
     if "audio" in items[0]:
-        la = max(it["audio"].shape[0] for it in items)
+        # STATIC pad target (t frames at the gesture contract's fixed
+        # 22050 Hz / 30 fps = 735 samples per frame): padding to the
+        # per-batch max would retrace the jitted step for every distinct
+        # short-tail batch and desync per-process shard shapes under
+        # multi-host collation
+        la = t * AUDIO_SAMPLES_PER_FRAME
         audio = np.zeros((b, la), np.float32)
         for i, it in enumerate(items):
-            audio[i, : it["audio"].shape[0]] = it["audio"]
+            n = min(it["audio"].shape[0], la)
+            audio[i, :n] = it["audio"][:n]
         cond["audio"] = audio
 
     if "text" in items[0]:

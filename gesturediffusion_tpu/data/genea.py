@@ -75,14 +75,19 @@ class Genea2023:
         self.mfcc_mean = np.load(os.path.join(trn, "mfccs_Mean.npy"))
         self.frames = np.load(os.path.join(srcpath, "rotpos_frames.npy"))
         self.std = np.where(self.std == 0, 1.0, self.std)
+        self.mfcc_std = np.where(self.mfcc_std == 0, 1.0, self.mfcc_std)
 
         self.motionpath = os.path.join(srcpath, "motion_npy_rotpos")
         self.audiopath = os.path.join(srcpath, "audio_npy")
         self.textpath = os.path.join(srcpath, "tsv")
         self.mfcc_cache_dir = os.path.join(srcpath, "mfcc_cache")
 
+        # max(0, .): a take shorter than the window contributes no
+        # samples — a negative count would make samples_cumulative
+        # non-monotonic and silently corrupt the searchsorted mapping
         self.samples_per_file = [
-            int(np.floor((n - self.window) / self.step)) for n in self.frames
+            max(0, int(np.floor((n - self.window) / self.step)))
+            for n in self.frames
         ]
         self.samples_cumulative = np.cumsum(self.samples_per_file)
         self.length = int(self.samples_cumulative[-1])
@@ -97,7 +102,8 @@ class Genea2023:
                 (self.textpath, ".tsv"),
             ]:
                 path = os.path.join(sub, name + ext)
-                assert os.path.isfile(path), f"missing data file {path}"
+                if not os.path.isfile(path):  # survives python -O
+                    raise FileNotFoundError(f"missing data file {path}")
 
         self._motion_mmap: dict[int, np.ndarray] = {}
         self._audio_mmap: dict[int, np.ndarray] = {}
@@ -273,9 +279,14 @@ class Genea2022:
         self.mfcc_mean = np.load(os.path.join(datapath, "mfccs_Mean.npy"))
         self.frames = np.load(os.path.join(datapath, "frames.npy"))
         self.std = np.where(self.std == 0, 1.0, self.std)
+        self.mfcc_std = np.where(self.mfcc_std == 0, 1.0, self.mfcc_std)
 
+        # max(0, .): a take shorter than the window contributes no
+        # samples — a negative count would make samples_cumulative
+        # non-monotonic and silently corrupt the searchsorted mapping
         self.samples_per_file = [
-            int(np.floor((n - self.window) / self.step)) for n in self.frames
+            max(0, int(np.floor((n - self.window) / self.step)))
+            for n in self.frames
         ]
         self.samples_cumulative = np.cumsum(self.samples_per_file)
 

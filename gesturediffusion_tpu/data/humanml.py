@@ -102,8 +102,16 @@ class HashVectorizer:
         self.word_size = word_size
 
     def __getitem__(self, item: str):
+        import hashlib
+
         word, pos = item.split("/")
-        rs = np.random.RandomState(abs(hash(word)) % (2**31))
+        # stable digest, NOT hash(): the built-in is salted per process
+        # (PYTHONHASHSEED), which would make the "deterministic"
+        # embeddings differ between runs/hosts and metrics irreproducible
+        seed = int.from_bytes(
+            hashlib.md5(word.encode()).digest()[:4], "little"
+        )
+        rs = np.random.RandomState(seed)
         word_vec = rs.randn(self.word_size).astype(np.float32) * 0.1
         pos_vec = np.zeros(len(POS_ENUMERATOR), np.float32)
         pos_vec[POS_ENUMERATOR.get(pos, POS_ENUMERATOR["OTHER"])] = 1

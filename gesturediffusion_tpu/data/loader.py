@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import threading
 from concurrent.futures import ThreadPoolExecutor
-from queue import Queue
+from queue import Full, Queue
 from typing import Callable, Iterator, Optional, Sequence
 
 import numpy as np
@@ -89,6 +89,18 @@ class DataLoader:
         stop = threading.Event()
         error: list[BaseException] = []
 
+        def put_or_stop(x) -> bool:
+            """put that never deadlocks: gives up once the consumer has
+            abandoned iteration (stop set + queue full) — a plain q.put
+            would block forever on the final sentinel with prefetch=1."""
+            while True:
+                try:
+                    q.put(x, timeout=0.1)
+                    return True
+                except Full:
+                    if stop.is_set():
+                        return False
+
         def produce():
             try:
                 with ThreadPoolExecutor(self.num_workers) as pool:
@@ -98,11 +110,12 @@ class DataLoader:
                         items = list(
                             pool.map(self.dataset.__getitem__, batch_idx)
                         )
-                        q.put(self.collate_fn(items))
+                        if not put_or_stop(self.collate_fn(items)):
+                            return
             except BaseException as e:  # surface in the consumer, don't hang
                 error.append(e)
             finally:
-                q.put(None)
+                put_or_stop(None)
 
         producer = threading.Thread(target=produce, daemon=True)
         producer.start()

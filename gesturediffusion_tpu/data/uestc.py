@@ -156,15 +156,27 @@ class UESTC(A2MDataset):
         self._pose = vibe["pose"]
         self._joints = vibe["joints3d"]
         cache = os.path.join(self.datapath, "globtrans_usez.pkl")
+        self._globtrans = None
         if os.path.exists(cache):
-            with open(cache, "rb") as f:
-                self._globtrans = pickle.load(f)
-        else:
+            try:
+                with open(cache, "rb") as f:
+                    self._globtrans = pickle.load(f)
+            except (EOFError, pickle.UnpicklingError, OSError):
+                self._globtrans = None  # partial write from a racer
+        if self._globtrans is None:
             self._globtrans = [
                 vibe_global_translation(cam) for cam in vibe["orig_cam"]
             ]
-            with open(cache, "wb") as f:
-                pickle.dump(self._globtrans, f)
+            try:
+                # atomic publish (tmp + rename) so concurrent processes
+                # never read a truncated pickle; read-only mounts skip
+                # the cache (same defence as the genea MFCC cache)
+                tmp = cache + f".{os.getpid()}.tmp"
+                with open(tmp, "wb") as f:
+                    pickle.dump(self._globtrans, f)
+                os.replace(tmp, cache)
+            except OSError:
+                pass
 
     def _correct_views_and_split(self) -> tuple[list[int], list[int]]:
         """Rotate side-2 recordings to the front view (in place, on the

@@ -1,5 +1,7 @@
 """Data pipeline tests: synthetic GENEA layout, windowing, collate, loader."""
 
+import os
+import time
 import numpy as np
 import pytest
 
@@ -206,3 +208,120 @@ class TestGenea2022:
 
         with pytest.raises(NotImplementedError):
             Genea2022(str(tmp_path), n_seed_poses=10)
+
+
+class TestReviewFixesRound3f:
+    """Regressions from the data-package review (round 3)."""
+
+    def test_short_take_contributes_zero_windows(self, tmp_path):
+        """A take shorter than the window must contribute 0 samples —
+        a negative count made samples_cumulative non-monotonic and
+        silently corrupted the searchsorted index mapping."""
+        root = make_synthetic_genea2023(
+            str(tmp_path), n_takes=3, frames_per_take=200, pose_dim=24
+        )
+        src = os.path.join(root, "trn", "main-agent")
+        # shrink the MIDDLE take below the window
+        frames = np.load(os.path.join(src, "rotpos_frames.npy"))
+        frames[1] = 40
+        np.save(os.path.join(src, "rotpos_frames.npy"), frames)
+        takes = sorted(
+            f[:-4] for f in os.listdir(os.path.join(src, "motion_npy_rotpos"))
+        )
+        short = np.load(
+            os.path.join(src, "motion_npy_rotpos", takes[1] + ".npy")
+        )[:40]
+        np.save(os.path.join(src, "motion_npy_rotpos", takes[1] + ".npy"),
+                short)
+
+        ds = Genea2023(root, split="train", window=80, step=30,
+                       use_mfcc_cache=False)
+        assert ds.samples_per_file[1] == 0
+        per = [c for c in ds.samples_per_file if c > 0]
+        assert len(ds) == sum(ds.samples_per_file) == sum(per)
+        # every index must resolve to a take with enough frames
+        for i in range(len(ds)):
+            item = ds[i]
+            assert item["motion"].shape[0] == 80
+
+    def test_hash_vectorizer_is_process_stable(self):
+        """hash(word) is salted per process; the fallback embeddings
+        must come from a stable digest so metrics reproduce."""
+        import hashlib
+        import subprocess
+        import sys
+
+        from gesturediffusion_tpu.data.humanml import HashVectorizer
+
+        v = HashVectorizer()
+        w1, _ = v["walking/VERB"]
+        seed = int.from_bytes(
+            hashlib.md5(b"walking").digest()[:4], "little"
+        )
+        expect = np.random.RandomState(seed).randn(300).astype(
+            np.float32
+        ) * 0.1
+        np.testing.assert_allclose(w1, expect)
+        # a fresh interpreter (different hash salt) agrees
+        out = subprocess.run(
+            [sys.executable, "-c",
+             "from gesturediffusion_tpu.data.humanml import HashVectorizer;"
+             "import numpy as np;"
+             "print(float(HashVectorizer()['walking/VERB'][0].sum()))"],
+            capture_output=True, text=True,
+            env=dict(os.environ, PYTHONHASHSEED="12345",
+                     JAX_PLATFORMS="cpu"),
+        )
+        assert abs(float(out.stdout.strip()) - float(w1.sum())) < 1e-5
+
+    def test_loader_abandoned_iteration_prefetch1_no_leak(self):
+        """Breaking out of iteration with prefetch=1 must let the
+        producer thread exit (the final sentinel put used to block
+        forever on the full queue)."""
+        import threading
+
+        from gesturediffusion_tpu.data.loader import DataLoader
+
+        class DS:
+            def __len__(self):
+                return 64
+
+            def __getitem__(self, i):
+                return {"x": np.zeros(4, np.float32)}
+
+        loader = DataLoader(DS(), batch_size=4,
+                            collate_fn=lambda items: items,
+                            num_workers=2, prefetch=1)
+        before = threading.active_count()
+        for _ in range(3):
+            for b in loader:
+                break  # abandon immediately
+        time.sleep(1.0)
+        assert threading.active_count() <= before + 1
+
+    def test_audio_pad_is_static(self, genea_root):
+        """Audio must pad to the static t*735 contract, not the
+        per-batch max (dynamic shapes retrace the jit)."""
+        from gesturediffusion_tpu.data.collate import (
+            AUDIO_SAMPLES_PER_FRAME,
+            collate_gesture,
+        )
+
+        ds = Genea2023(genea_root, split="train", window=80, step=30,
+                       use_mfcc_cache=False)
+        items = [ds[0], ds[1]]
+        items[1]["audio"] = items[1]["audio"][:-100]  # short tail
+        _, cond = collate_gesture(items, max_frames=80)
+        assert cond["audio"].shape == (2, 80 * AUDIO_SAMPLES_PER_FRAME)
+
+    def test_mfcc_std_zero_guard(self, tmp_path):
+        root = make_synthetic_genea2023(
+            str(tmp_path), n_takes=2, frames_per_take=200, pose_dim=24
+        )
+        std_p = os.path.join(root, "trn", "main-agent", "mfccs_Std.npy")
+        s = np.load(std_p)
+        s[0] = 0.0
+        np.save(std_p, s)
+        ds = Genea2023(root, split="train", window=80, step=30,
+                       use_mfcc_cache=False)
+        assert np.isfinite(ds[0]["mfcc"]).all()

@@ -83,6 +83,22 @@ class TestUESTCLoader:
             np.asarray(ds1._joints[0]), np.asarray(ds2._joints[0]), atol=1e-5
         )
 
+    def test_globtrans_cache_corruption_recovers(self, tmp_path):
+        """A truncated cache pickle (crashed/racing writer) must be
+        recomputed, not crash dataset construction (round-3 review)."""
+        root = make_synthetic_uestc(str(tmp_path / "u"))
+        ds1 = UESTC(root, num_frames=60, split="train")
+        cache = os.path.join(root, "globtrans_usez.pkl")
+        with open(cache, "rb") as f:
+            good = f.read()
+        with open(cache, "wb") as f:
+            f.write(good[: len(good) // 2])  # truncate mid-stream
+        ds2 = UESTC(root, num_frames=60, split="train")
+        np.testing.assert_allclose(
+            np.asarray(ds1._joints[0]), np.asarray(ds2._joints[0]),
+            atol=1e-5,
+        )
+
     def test_registry_entry(self, uestc_root):
         from gesturediffusion_tpu.data.registry import get_dataset_loader
 
