@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from gesturediffusion_tpu.eval.networks import masked_gru
+from gesturediffusion_tpu.eval.networks import masked_gru, torch_gru_uniform
 from gesturediffusion_tpu.models.embeddings import sinusoidal_table
 
 
@@ -47,7 +47,7 @@ class TextEncoderBiGRU(nn.Module):
             def mk(name, shape):
                 return self.param(
                     f"gru_{direction}_{name}",
-                    nn.initializers.uniform(1.0 / self.hidden_size**0.5),
+                    torch_gru_uniform(self.hidden_size),
                     shape,
                 )
 
@@ -107,7 +107,7 @@ class _GRUCellStack(nn.Module):
             def mk(name, shape, i=i):
                 return self.param(
                     f"gru_{i}_{name}",
-                    nn.initializers.uniform(1.0 / self.hidden_size**0.5),
+                    torch_gru_uniform(self.hidden_size),
                     shape,
                 )
 
@@ -217,7 +217,7 @@ class MotionLenEstimatorBiGRU(nn.Module):
             def mk(name, shape):
                 return self.param(
                     f"gru_{direction}_{name}",
-                    nn.initializers.uniform(1.0 / self.hidden_size**0.5),
+                    torch_gru_uniform(self.hidden_size),
                     shape,
                 )
 
@@ -414,8 +414,11 @@ class CompV6Generator:
         self.mov_enc = MovementConvEncoder(
             hidden_size=movement_latent, output_size=movement_latent
         )
+        # decoder outputs the FULL pose incl. contact features
+        # (reference: comp_v6_model_dataset.py:37 builds it with
+        # opt.dim_pose; the eval pipeline slices [..., :-4] later)
         self.mov_dec = MovementConvDecoder(
-            hidden_size=movement_latent, output_size=dim_pose - 4
+            hidden_size=movement_latent, output_size=dim_pose
         )
         self.len_estimator = MotionLenEstimatorBiGRU()
         # z2init projections (hidden -> initial GRU states); standalone
@@ -526,4 +529,4 @@ class CompV6Generator:
         fake_motions = self.mov_dec.apply(
             {"params": self.params["mov_dec"]}, fake_movements
         )
-        return fake_motions  # [B, mov_len * unit_length, dim_pose - 4]
+        return fake_motions  # [B, mov_len * unit_length, dim_pose]

@@ -170,6 +170,11 @@ class A2MEvaluation:
             multimodality += np.linalg.norm(
                 activations[first_idx] - activations[second_idx]
             )
+        # denominator uses ALL labels even when some are absent from the
+        # sample set — reference parity (eval/a2m/stgcn/diversity.py:28
+        # assigns quotas only to labels.unique(), :49 divides by
+        # multimodality_times * num_labels), so small/debug runs deflate
+        # multimodality exactly like the reference does
         multimodality /= multimodality_times * num_labels
         return diversity, float(multimodality)
 

@@ -60,10 +60,16 @@ class GroundTruthMotionSet:
     """
 
     def __init__(self, dataset, batch_size: int = 32, max_frames: int = 196,
-                 cache: bool = False):
+                 cache: bool = False, renorm: Optional[tuple] = None):
+        """``renorm``: same (our_mean, our_std, ev_mean, ev_std) tuple as
+        GeneratedMotionSet — the reference's GT loader normalizes with
+        the EVALUATOR's stats (dataset_motion_loader.py:15-16 loads
+        opt.meta_dir mean/std), so GT must be renormed exactly like the
+        generated motions or FID compares two conventions."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.max_frames = max_frames
+        self.renorm = renorm
         self._cached = None
         if cache:
             self._cached = list(self._generate())
@@ -72,7 +78,13 @@ class GroundTruthMotionSet:
         n = len(self.dataset)
         for lo in range(0, n - self.batch_size + 1, self.batch_size):
             items = [self.dataset[i] for i in range(lo, lo + self.batch_size)]
-            yield collate_humanml_eval(items, self.max_frames)
+            batch = collate_humanml_eval(items, self.max_frames)
+            if self.renorm is not None:
+                our_mean, our_std, ev_mean, ev_std = self.renorm
+                batch["motions"] = (
+                    batch["motions"] * our_std + our_mean - ev_mean
+                ) / ev_std
+            yield batch
 
     def __iter__(self):
         if self._cached is not None:
@@ -430,10 +442,10 @@ def make_training_eval_fn(args, model, diffusion, text_encoder=None,
             f"eval split has {len(dataset)} samples < protocol batch "
             f"{batch_size} — benchmark eval impossible"
         )
-    gt_loader = GroundTruthMotionSet(dataset, batch_size=batch_size)
-
     renorm = load_eval_renorm(dataset, log,
                               dataset_name=args.dataset)
+    gt_loader = GroundTruthMotionSet(dataset, batch_size=batch_size,
+                                     renorm=renorm)
     eval_wrapper = EvaluatorWrapper(args.dataset, dim_pose=dataset.pose_dim)
 
     shape = (batch_size, dataset.pose_dim, 1, 196)
@@ -519,8 +531,11 @@ def main(argv=None):
     mode_cfg = EVAL_MODES[args.eval_mode]
 
     name = os.path.basename(os.path.dirname(args.model_path))
-    niter = os.path.basename(os.path.normpath(args.model_path)).replace(
-        "model", ""
+    # reference niter parsing strips BOTH the prefix and the extension
+    # (eval/eval_humanml.py: .replace('model','').replace('.pt',''))
+    niter = (
+        os.path.basename(os.path.normpath(args.model_path))
+        .replace("model", "").replace(".pt", "").replace(".safetensors", "")
     )
     log_file = os.path.join(
         os.path.dirname(args.model_path),
@@ -538,19 +553,23 @@ def main(argv=None):
                     "(NOT metric-parity)")
         w_vectorizer = HashVectorizer()
 
-    root = args.data_dir or "./dataset/HumanML3D"
+    root = args.data_dir or (
+        "./dataset/HumanML3D" if args.dataset == "humanml"
+        else "./dataset/KIT-ML"
+    )
     dataset = Text2MotionDatasetV2(
         root,
         split="test",
         dataset_name="t2m" if args.dataset == "humanml" else "kit",
         w_vectorizer=w_vectorizer,
     )
-    gt_loader = GroundTruthMotionSet(dataset, batch_size=args.batch_size)
-
     # renorm from the training normalization to the frozen T2M evaluator's
     # convention (reference: comp_v6_model_dataset.py:246-250); eval stats
-    # ship as dataset/{t2m|kit}_{mean,std}.npy
+    # ship as dataset/{t2m|kit}_{mean,std}.npy.  Applied to BOTH loaders
+    # (the reference GT loader normalizes with the evaluator stats).
     renorm = load_eval_renorm(dataset, dataset_name=args.dataset)
+    gt_loader = GroundTruthMotionSet(dataset, batch_size=args.batch_size,
+                                     renorm=renorm)
 
     from gesturediffusion_tpu.utils.text_embedder import get_text_encoder
 

@@ -79,8 +79,14 @@ def evaluate_unconstrained_metrics(
 ) -> dict:
     evaluator = evaluator or UnconstrainedEvaluator()
 
+    # dataset_motions contract: MoDi-struct joint ORDER (the reference's
+    # humanact12_unconstrained_modi_struct.npy carries 16 joints; its
+    # evaluate.py:76 takes the first 15).  Raw SMPL-24 xyz must be
+    # remapped with eval_a2m.UNCONSTRAINED_15_JOINTS first — the first
+    # 15 SMPL joints are NOT the MoDi subset.  Index 8 in MoDi order is
+    # the pelvis (root-centering joint).
     generated = generated_motions - generated_motions[:, 8:9]
-    dataset = dataset_motions[:, :15] - dataset_motions[:, 8:9][:, :15]
+    dataset = dataset_motions[:, :15] - dataset_motions[:, 8:9]
 
     gen_feats, _ = evaluator.compute_features(generated)
     ds_feats, _ = evaluator.compute_features(dataset)

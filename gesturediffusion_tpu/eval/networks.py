@@ -34,6 +34,21 @@ import jax.numpy as jnp
 # ---------------------------------------------------------------------- #
 # torch-layout GRU
 # ---------------------------------------------------------------------- #
+def torch_gru_uniform(hidden_size: int):
+    """torch nn.GRU reset_parameters init: U(-1/sqrt(H), +1/sqrt(H)).
+
+    flax nn.initializers.uniform samples [0, scale) — strictly positive
+    weights, a badly biased recurrent init for the from-scratch
+    evaluator-retraining path (eval/trainers.py).  Inference from
+    converted checkpoints never sees this."""
+    bound = 1.0 / hidden_size**0.5
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
 def gru_cell(h, x, w_ih, w_hh, b_ih, b_hh):
     """One torch-semantics GRU step.  Gate order r, z, n."""
     gi = x @ w_ih.T + b_ih
@@ -103,7 +118,7 @@ class BiGRUCo(nn.Module):
             def mk(name, shape):
                 return self.param(
                     f"gru_{direction}_{name}",
-                    nn.initializers.uniform(scale=1.0 / self.hidden_size**0.5),
+                    torch_gru_uniform(self.hidden_size),
                     shape,
                 )
 
@@ -196,7 +211,7 @@ class MotionDiscriminator(nn.Module):
             def mk(name, shape, layer=layer):
                 return self.param(
                     f"gru_l{layer}_{name}",
-                    nn.initializers.uniform(scale=1.0 / self.hidden_size**0.5),
+                    torch_gru_uniform(self.hidden_size),
                     shape,
                 )
 

@@ -84,10 +84,14 @@ def make_decomp_trainer(
         return _make_state({"enc": enc_p, "dec": dec_p}, tx)
 
     def loss_fn(params, motions):
+        # encoder sees dim_pose-4 (contact features stripped), decoder
+        # reconstructs the FULL pose — reference trainers.py:57-61
+        # (l1_criterion(recon_motions, motions), decoder built with
+        # output dim_pose)
         latents = movement_enc.apply({"params": params["enc"]},
                                      motions[..., :-4])
         recon = movement_dec.apply({"params": params["dec"]}, latents)
-        loss_rec = jnp.mean(jnp.abs(recon - motions[..., :-4]))
+        loss_rec = jnp.mean(jnp.abs(recon - motions))
         loss_sparsity = jnp.mean(jnp.abs(latents))
         loss_smooth = jnp.mean(jnp.abs(latents[:, 1:] - latents[:, :-1]))
         loss = (loss_rec + lambda_sparsity * loss_sparsity

@@ -29,7 +29,9 @@ class TestCompV6Smoke:
         lens = np.asarray([8, 5])
         out = gen.generate(word, pos, lens, m_lens=np.asarray([16, 16]),
                            mov_len=4, rng=jax.random.PRNGKey(0))
-        assert out.shape == (2, 16, 63)  # mov_len * unit_length, dim_pose-4
+        # FULL pose width (reference comp_v6_model_dataset.py:37 builds
+        # the decoder with opt.dim_pose; the eval pipeline slices later)
+        assert out.shape == (2, 16, 67)  # mov_len * unit_length, dim_pose
         assert bool(jnp.all(jnp.isfinite(out)))
 
     def test_length_estimator(self):

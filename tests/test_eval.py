@@ -250,3 +250,66 @@ class TestMaskedGRUSemantics:
         # sample 1 truncated at 3 == running only its first 3 frames
         _, h_trunc = masked_gru(x[1:2, :3], jnp.asarray([3]), h0[1:2], params)
         np.testing.assert_allclose(h_full[1], h_trunc[0], atol=1e-6)
+
+
+class TestGTRenorm:
+    """The GT loader must renorm to the evaluator convention exactly
+    like the generated loader — the reference's GT loader normalizes
+    with the evaluator's own mean/std (dataset_motion_loader.py:15-16);
+    mixing conventions silently skews every FID/R-precision number."""
+
+    class _DS:
+        def __init__(self, motions):
+            self._items = [
+                {"motion": m, "length": m.shape[0], "text": ""}
+                for m in motions
+            ]
+
+        def __len__(self):
+            return len(self._items)
+
+        def __getitem__(self, i):
+            return self._items[i]
+
+    def test_gt_motions_renormed(self):
+        from gesturediffusion_tpu.eval.eval_humanml import (
+            GroundTruthMotionSet,
+        )
+
+        rs = np.random.RandomState(0)
+        motions = [rs.randn(8, 4).astype(np.float32) for _ in range(2)]
+        our_mean = np.zeros(4, np.float32)
+        our_std = np.ones(4, np.float32)
+        ev_mean = np.full(4, 0.5, np.float32)
+        ev_std = np.full(4, 2.0, np.float32)
+        ds = self._DS(motions)
+        plain = next(iter(GroundTruthMotionSet(ds, batch_size=2,
+                                               max_frames=8)))
+        renormed = next(iter(GroundTruthMotionSet(
+            ds, batch_size=2, max_frames=8,
+            renorm=(our_mean, our_std, ev_mean, ev_std),
+        )))
+        np.testing.assert_allclose(
+            renormed["motions"], (plain["motions"] - 0.5) / 2.0, rtol=1e-6
+        )
+
+    def test_symmetric_gru_init(self):
+        from gesturediffusion_tpu.eval.networks import (
+            MotionEncoderBiGRUCo,
+            torch_gru_uniform,
+        )
+
+        init = torch_gru_uniform(64)
+        w = init(jax.random.PRNGKey(0), (192, 64))
+        assert float(w.min()) < 0 < float(w.max())  # symmetric, not [0, s)
+        assert abs(float(w.mean())) < 0.01
+        enc = MotionEncoderBiGRUCo(input_size=8, hidden_size=16,
+                                   output_size=8)
+        params = enc.init(jax.random.PRNGKey(1),
+                          jnp.zeros((2, 6, 8)), jnp.asarray([6, 6]))
+        leaves = {
+            "/".join(str(k.key) for k in p): np.asarray(v)
+            for p, v in jax.tree_util.tree_leaves_with_path(params)
+        }
+        gru_ws = [v for k, v in leaves.items() if "w_ih" in k]
+        assert gru_ws and all(v.min() < 0 for v in gru_ws)

@@ -205,8 +205,9 @@ class TestEvalDriverSmoke:
             diversity_times=2,
             run_mm=False,
         )
-        # generator == GT  =>  FID 0, same matching score
-        assert abs(out["FID_vald"]) < 1e-4
+        # generator == GT  =>  FID 0 up to sqrtm numerical noise (scale
+        # depends on the random evaluator init)
+        assert abs(out["FID_vald"]) < 1e-3
         assert np.allclose(
             out["Matching Score_vald"], out["Matching Score_ground truth"]
         )

@@ -63,7 +63,7 @@ def _snippet_len(t):
 class TestDecompTrainer:
     def test_losses_decrease(self):
         enc = MovementConvEncoder(hidden_size=32, output_size=16)
-        dec = MovementConvDecoder(hidden_size=32, output_size=DP - 4)
+        dec = MovementConvDecoder(hidden_size=32, output_size=DP)
         init, step = make_decomp_trainer(enc, dec, lr=1e-3,
                                          lambda_sparsity=0.001,
                                          lambda_smooth=0.001)
@@ -82,8 +82,10 @@ class TestDecompTrainer:
         (trainers.py:60-67) on identical tensors."""
         import torch
 
+        # decoder reconstructs the FULL pose (reference trainers.py:61
+        # computes l1(recon_motions, motions) with a dim_pose decoder)
         enc = MovementConvEncoder(hidden_size=32, output_size=16)
-        dec = MovementConvDecoder(hidden_size=32, output_size=DP - 4)
+        dec = MovementConvDecoder(hidden_size=32, output_size=DP)
         init, _ = make_decomp_trainer(enc, dec)
         motions_np = RS.randn(B, T, DP).astype(np.float32)
         motions = jnp.asarray(motions_np)
@@ -94,12 +96,12 @@ class TestDecompTrainer:
 
         lt = torch.from_numpy(np.asarray(latents))
         rt = torch.from_numpy(np.asarray(recon))
-        mt = torch.from_numpy(motions_np[..., :-4])
+        mt = torch.from_numpy(motions_np)
         want_rec = torch.nn.L1Loss()(rt, mt).item()
         want_sparsity = torch.mean(torch.abs(lt)).item()
         want_smooth = torch.nn.L1Loss()(lt[:, 1:], lt[:, :-1]).item()
 
-        got_rec = float(jnp.mean(jnp.abs(recon - motions[..., :-4])))
+        got_rec = float(jnp.mean(jnp.abs(recon - motions)))
         got_sparsity = float(jnp.mean(jnp.abs(latents)))
         got_smooth = float(jnp.mean(jnp.abs(latents[:, 1:] - latents[:, :-1])))
         assert got_rec == pytest.approx(want_rec, rel=1e-5)
