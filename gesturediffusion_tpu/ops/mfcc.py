@@ -87,8 +87,12 @@ def mfcc(
         # (the f32 native kernel is for the f32 data path, not DSP prep)
         signal = np.append(signal[0], signal[1:] - preemph * signal[:-1])
 
-    frame_len = int(round(winlen * samplerate))
-    frame_step = int(round(winstep * samplerate))
+    # round-HALF-UP like python_speech_features.sigproc (decimal
+    # ROUND_HALF_UP): Python's round() banker's-rounds, which shifts
+    # every frame boundary by one sample for half-sample params (e.g.
+    # winstep=1/20 @ 22050 Hz -> 1102 vs the reference's 1103)
+    frame_len = int(np.floor(winlen * samplerate + 0.5))
+    frame_step = int(np.floor(winstep * samplerate + 0.5))
     frames = frame_signal(signal, frame_len, frame_step)
 
     # power spectrum over nfft bins

@@ -85,8 +85,13 @@ def extract_features(
     face_joint_indx=T2M_FACE_JOINTS,
     fid_r=T2M_FID_R,
     fid_l=T2M_FID_L,
+    return_rifke: bool = False,
 ) -> np.ndarray:
-    """Aligned positions -> feature vectors (T-1, 4 + (J-1)*9 + J*3 + 4)."""
+    """Aligned positions -> feature vectors (T-1, 4 + (J-1)*9 + J*3 + 4).
+
+    ``return_rifke=True`` additionally returns the rotation-invariant
+    (root-XZ-removed AND per-frame-yaw-rotated) joint positions — the
+    reference's get_rifke output (motion_process.py:68-74)."""
     positions = positions.copy()
     global_positions = positions.copy()
 
@@ -136,6 +141,8 @@ def extract_features(
         [root_data, ric_data[:-1], rot_data[:-1], local_vel, feet_l, feet_r],
         axis=-1,
     )
+    if return_rifke:
+        return data, positions
     return data
 
 
@@ -188,13 +195,12 @@ def process_file(
     )
 
     global_positions = positions.copy()
-    data = extract_features(
-        positions, feet_thre, skel, face_joint_indx, fid_r, fid_l
+    # 'local' is the reference's get_rifke output: root-XZ removed AND
+    # rotated by the per-frame root yaw (motion_process.py:68-74) — the
+    # XZ subtraction alone is NOT frame-consistent local pose
+    data, local = extract_features(
+        positions, feet_thre, skel, face_joint_indx, fid_r, fid_l,
+        return_rifke=True,
     )
-
-    # local (RIC) positions for return parity
-    local = positions.copy()
-    local[..., 0] -= local[:, 0:1, 0]
-    local[..., 2] -= local[:, 0:1, 2]
     l_velocity = data[:, 1:3]
     return data, global_positions, local, l_velocity

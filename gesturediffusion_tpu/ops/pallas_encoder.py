@@ -64,8 +64,7 @@ def _auto_block_b(b: int, t_padded: int, ff: int) -> int:
         return min(bb, b)
     for bb in _AUTO_CANDIDATES:
         if bb * t_padded * ff * 4 <= _AUTO_FF_BYTES:
-            # no point padding b up beyond one grid step
-            return min(bb, b) if b <= bb else bb
+            return min(bb, b)  # no point padding b up beyond one grid step
     return 1
 
 

@@ -1,15 +1,23 @@
-"""Fused full self-attention Pallas kernel for the encoder backbone.
+"""Blocked flash self-attention Pallas kernel for the encoder backbone.
 
-The transformer encoder's hot op at production shapes (T≈200, d_head 128)
-is HBM-traffic-bound in the XLA formulation: the [B,H,T,T] score tensor
-round-trips HBM per layer.  At these sequence lengths an entire head's
-attention — q, k, v, scores, softmax, output — fits comfortably in VMEM
-(~600 KB), so the kernel runs one (batch, head) pair per grid step with
-zero intermediate HBM traffic: read q/k/v once, write out once.
+The transformer encoder's hot op at LONG sequence lengths is the
+[B,H,T,T] score tensor: the XLA formulation round-trips it through HBM
+per layer, and a naive fused kernel holds the whole [T,T] slab in VMEM
+(16 MB at T=2048 — over the v5e VMEM budget, so the naive version could
+not even compile at the shapes it existed for).  This version is a
+FlashAttention-style blocked kernel: the k/v sequence axis is tiled and
+the softmax is computed online (running row-max m, running normalizer l,
+rescaled accumulator), so VMEM holds only [BQ,D] q, [BK,D] k/v, one
+[BQ,BK] score tile, and the [BQ,D] accumulator — independent of T.
 
-Opt-in via TransformerEncoder(use_fused_kernel=True) — measured SLOWER than
-XLA's own fusion at production shapes (T<=200) on v5e, so off by default;
-intended for long-sequence configs where the score tensor dominates.
+Grid: (B*H, T/BQ, T/BK) with the k axis innermost; scratch (m, l, acc)
+persists across the k steps of one (bh, q-block) and the output block is
+written once on the last k step (standard revisit-accumulate pattern).
+
+Opt-in via TransformerEncoder(use_fused_kernel=True) — measured SLOWER
+than XLA's own fusion at production shapes (T<=200) on v5e, so off by
+default; intended for long-sequence configs where the score tensor
+dominates HBM traffic.
 """
 
 from __future__ import annotations
@@ -24,62 +32,100 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -jnp.finfo(jnp.float32).max
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, t_real: int, scale: float):
-    q = q_ref[0]  # [Tp, D]
-    k = k_ref[0]
+def _flash_kernel(
+    q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
+    *, t_real: int, scale: float, block_k: int,
+):
+    kb = pl.program_id(2)
+
+    @pl.when(kb == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0]  # [BQ, D]
+    k = k_ref[0]  # [BK, D]
     v = v_ref[0]
-    tp = q.shape[0]
 
-    scores = jnp.dot(q, k.T, preferred_element_type=jnp.float32,
-                     precision=jax.lax.Precision.HIGHEST) * scale
-    kpos = jax.lax.broadcasted_iota(jnp.int32, (tp, tp), 1)
-    scores = jnp.where(kpos < t_real, scores, NEG_INF)
+    # NOTE: no precision=HIGHEST here — Mosaic lowers it to a multi-pass
+    # path that is LESS exact than the default on v5e (measured 1.2e-1
+    # max diff on a 128x128 f32 dot vs 0.0 for the default)
+    s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+    kpos = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(kpos < t_real, s, NEG_INF)
 
-    m = jnp.max(scores, axis=-1, keepdims=True)
-    e = jnp.exp(scores - m)
-    denom = jnp.sum(e, axis=-1, keepdims=True)
-    out = jnp.dot(
-        e.astype(v.dtype), v, preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    ) / denom
-    o_ref[0] = out.astype(o_ref.dtype)
+    # online softmax update (m/l are lane-broadcast [BQ, 128] tiles;
+    # column 0 carries the value)
+    m_prev = m_ref[:, :1]
+    l_prev = l_ref[:, :1]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+    alpha = jnp.exp(m_prev - m_new)  # rescale of the old accumulator
+    p = jnp.exp(s - m_new)
+    l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+    acc_ref[:] = acc_ref[:] * alpha + jnp.dot(
+        p.astype(v.dtype), v, preferred_element_type=jnp.float32
+    )
+    m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+    l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
+
+    @pl.when(kb == pl.num_programs(2) - 1)
+    def _finalize():
+        o_ref[0] = (acc_ref[:] / l_ref[:, :1]).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "block_q", "block_k")
+)
 def fused_self_attention(
-    q: jax.Array, k: jax.Array, v: jax.Array, *, interpret: bool = False
+    q: jax.Array, k: jax.Array, v: jax.Array, *,
+    block_q: int = 256, block_k: int = 256, interpret: bool = False,
 ) -> jax.Array:
-    """Full (non-causal) softmax attention, one fused pass per (B, H).
+    """Full (non-causal) softmax attention, flash-blocked per (B, H).
 
-    q, k, v: [B, H, T, D].  Equivalent to
-    softmax(q k^T / sqrt(D)) v with f32 score accumulation.
+    q, k, v: [B, H, T, D].  Equivalent to softmax(q k^T / sqrt(D)) v
+    with f32 score accumulation and an online (streaming) softmax —
+    VMEM use is O(block_q * block_k), independent of T.
     """
     b, h, t, d = q.shape
     scale = d**-0.5
 
-    # pad T to the sublane tile and D to the lane tile
-    tp = -(-t // 16) * 16
+    # pad T to one tile when it fits a single block, else to the block
+    # grid; D pads to the 128 lane tile
+    if t <= block_q and t <= block_k:
+        tp = -(-t // 16) * 16
+        bq, bk = tp, tp
+    else:
+        bq, bk = block_q, block_k
+        tp = -(-t // max(bq, bk)) * max(bq, bk)
     dp = -(-d // 128) * 128
     pad = [(0, 0), (0, 0), (0, tp - t), (0, dp - d)]
     qp = jnp.pad(q, pad).reshape(b * h, tp, dp)
     kp = jnp.pad(k, pad).reshape(b * h, tp, dp)
     vp = jnp.pad(v, pad).reshape(b * h, tp, dp)
 
-    kernel = functools.partial(_attn_kernel, t_real=t, scale=scale)
+    kernel = functools.partial(
+        _flash_kernel, t_real=t, scale=scale, block_k=bk
+    )
     out = pl.pallas_call(
         kernel,
-        grid=(b * h,),
+        grid=(b * h, tp // bq, tp // bk),
         in_specs=[
-            pl.BlockSpec((1, tp, dp), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, bq, dp), lambda i, qb, kb: (i, qb, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tp, dp), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, bk, dp), lambda i, qb, kb: (i, kb, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tp, dp), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, bk, dp), lambda i, qb, kb: (i, kb, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, tp, dp), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((1, bq, dp), lambda i, qb, kb: (i, qb, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b * h, tp, dp), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bq, 128), jnp.float32),  # running row max m
+            pltpu.VMEM((bq, 128), jnp.float32),  # running normalizer l
+            pltpu.VMEM((bq, dp), jnp.float32),   # output accumulator
+        ],
         interpret=interpret,
     )(qp, kp, vp)
     return out.reshape(b, h, tp, dp)[:, :, :t, :d]

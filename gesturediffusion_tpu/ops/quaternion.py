@@ -18,8 +18,11 @@ import jax.numpy as jnp
 
 
 def qinv(q: jax.Array) -> jax.Array:
-    """Conjugate of unit quaternions (..., 4)."""
-    return q * jnp.asarray([1.0, -1.0, -1.0, -1.0], q.dtype)
+    """Conjugate of unit quaternions (..., 4) — delegates to
+    rotations.quaternion_invert (same (w,x,y,z) convention)."""
+    from gesturediffusion_tpu.ops.rotations import quaternion_invert
+
+    return quaternion_invert(q)
 
 
 def qnormalize(q: jax.Array) -> jax.Array:
@@ -27,18 +30,11 @@ def qnormalize(q: jax.Array) -> jax.Array:
 
 
 def qmul(q: jax.Array, r: jax.Array) -> jax.Array:
-    """Hamilton product q*r for equally-shaped (..., 4) arrays."""
-    qw, qx, qy, qz = (q[..., n] for n in range(4))
-    rw, rx, ry, rz = (r[..., n] for n in range(4))
-    return jnp.stack(
-        [
-            qw * rw - qx * rx - qy * ry - qz * rz,
-            qw * rx + qx * rw + qy * rz - qz * ry,
-            qw * ry - qx * rz + qy * rw + qz * rx,
-            qw * rz + qx * ry - qy * rx + qz * rw,
-        ],
-        axis=-1,
-    )
+    """Hamilton product q*r — delegates to
+    rotations.quaternion_raw_multiply (same (w,x,y,z) convention)."""
+    from gesturediffusion_tpu.ops.rotations import quaternion_raw_multiply
+
+    return quaternion_raw_multiply(q, r)
 
 
 def qrot(q: jax.Array, v: jax.Array) -> jax.Array:

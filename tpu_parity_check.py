@@ -169,6 +169,37 @@ def run_parity_checks() -> bool:
           f"1.5x XLA-bf16 {err_xla:.2e}")
     ok &= bf16_ok
 
+    # 5) blocked flash self-attention: short T (single block) and a
+    #    long-T multi-block case that exercises the online-softmax
+    #    rescale AND proves the VMEM fix (the pre-flash kernel could
+    #    not compile T=2048 — 32 MB of score slabs)
+    from gesturediffusion_tpu.ops.pallas_flash import fused_self_attention
+
+    def xla_attn(q, k, v):
+        d = q.shape[-1]
+        s = jnp.einsum("bhid,bhjd->bhij", q, k,
+                       preferred_element_type=jnp.float32) * (d**-0.5)
+        return jnp.einsum("bhij,bhjd->bhid",
+                          jax.nn.softmax(s, axis=-1).astype(v.dtype), v)
+
+    # tolerance: the MXU's f32 dot is a 3-pass bf16 decomposition whose
+    # rounding DECORRELATES between the flash order (unnormalized-p dot,
+    # divide at the end) and XLA's (normalize then dot) — measured ~7e-3
+    # at every T/block config, identical for 1 vs many k blocks (so the
+    # online rescale itself is exact).  Exact-math parity is pinned in
+    # interpret mode (tests/test_pallas_flash.py, atol 2e-5).
+    q = jnp.asarray(rs.randn(8, 4, 200, 64), jnp.float32)
+    got = jax.jit(lambda a: fused_self_attention(a, a, a))(q)
+    want = jax.jit(lambda a: xla_attn(a, a, a))(q)
+    ok &= check("flash_attention (compiled) vs XLA softmax [8,4,200,64]",
+                got, want, atol=2e-2)
+
+    qL = jnp.asarray(rs.randn(1, 2, 2048, 128), jnp.float32)
+    gotL = jax.jit(lambda a: fused_self_attention(a, a, a))(qL)
+    wantL = jax.jit(lambda a: xla_attn(a, a, a))(qL)
+    ok &= check("flash_attention long-T (compiled) vs XLA [1,2,2048,128]",
+                gotL, wantL, atol=2e-2)
+
     print("kernel parity: ALL OK" if ok else "kernel parity: FAILURES")
     return ok
 
