@@ -37,7 +37,6 @@ def get_opt(opt_path: str, device=None) -> Namespace:
                     opt_dict[key] = value
 
     opt_dict["which_epoch"] = "finest"
-    lines = opt_path.replace("\\", "/").split("/")
     opt.save_root = os.path.dirname(opt_path)
     opt.model_dir = pjoin(opt.save_root, "model")
     opt.meta_dir = pjoin(opt.save_root, "meta")

@@ -70,6 +70,14 @@ class CSVOutputFormat(KVWriter):
     def __init__(self, filename: str):
         self.filename = filename
         self.keys: list[str] = []
+        # resume: adopt the existing file's header, else the first dump
+        # (whose kvs may lack e.g. eval/* columns) would rewrite with a
+        # NARROWER header and DictWriter dies on the old rows' extras
+        if os.path.exists(filename):
+            with open(filename) as f:
+                header = f.readline().strip()
+            if header:
+                self.keys = header.split(",")
 
     def writekvs(self, kvs: dict) -> None:
         extra = sorted(set(kvs.keys()) - set(self.keys))

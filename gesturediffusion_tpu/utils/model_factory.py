@@ -8,8 +8,6 @@ get_model_args:18 with genea⇒498 joints/genea_vec, create_gaussian_diffusion
 
 from __future__ import annotations
 
-from typing import Any
-
 from gesturediffusion_tpu.diffusion import (
     LossType,
     ModelMeanType,
@@ -17,7 +15,6 @@ from gesturediffusion_tpu.diffusion import (
     create_diffusion,
 )
 from gesturediffusion_tpu.models.mdm import MDM
-from gesturediffusion_tpu.models.mdm_old import MDMOld
 from gesturediffusion_tpu.models.mdm_t2m import MotionMDM
 
 GESTURE_DATASETS = ("genea2022", "genea2023", "synthetic")

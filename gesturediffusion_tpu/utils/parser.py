@@ -19,6 +19,19 @@ import os
 from argparse import ArgumentParser
 
 
+def str2bool(v) -> bool:
+    """argparse bool that actually parses 'False' (type=bool treats ANY
+    non-empty string — including 'False' — as True, silently inverting
+    explicit user input; the reference shares that footgun)."""
+    if isinstance(v, bool):
+        return v
+    if v.lower() in ("yes", "true", "t", "1"):
+        return True
+    if v.lower() in ("no", "false", "f", "0", ""):
+        return False
+    raise argparse.ArgumentTypeError(f"expected a boolean, got {v!r}")
+
+
 def parse_and_load_from_model(parser: ArgumentParser, argv=None):
     """Re-load dataset/model/diffusion args from the checkpoint's args.json."""
     add_data_options(parser)
@@ -46,6 +59,9 @@ def parse_and_load_from_model(parser: ArgumentParser, argv=None):
 
     if args.cond_mask_prob == 0:
         args.guidance_param = 1
+    # normalize once for every downstream consumer (dirname-based run
+    # names, log files, output dirs)
+    args.model_path = os.path.normpath(args.model_path)
     return args
 
 
@@ -60,10 +76,14 @@ def default_output_dir(model_path: str, prefix: str, *parts: str) -> str:
     """The CLIs' shared default output-dir naming (reference:
     sample/generate.py:48-52): <ckpt dir>/<prefix>_<run>_<iter>[_parts...],
     e.g. samples_run_000600000_seed10."""
+    # normpath FIRST: orbax checkpoints are directories, so a
+    # tab-completed trailing slash would otherwise lose the run name and
+    # nest the output inside the checkpoint itself
+    model_path = os.path.normpath(model_path)
     name = os.path.basename(os.path.dirname(model_path))
-    niter = os.path.basename(os.path.normpath(model_path)).replace(
-        "model", ""
-    )
+    niter = os.path.basename(model_path).replace("model", "")
+    for suffix in (".pt", ".pth", ".safetensors"):  # reference strips .pt
+        niter = niter.removesuffix(suffix)
     return os.path.join(
         os.path.dirname(model_path),
         "_".join([f"{prefix}_{name}_{niter}", *parts]),
@@ -74,7 +94,10 @@ def get_model_path_from_args(argv=None):
     dummy = ArgumentParser()
     dummy.add_argument("--model_path", required=True)
     dummy_args, _ = dummy.parse_known_args(argv)
-    return dummy_args.model_path
+    # normpath: orbax checkpoints are directories, so a tab-completed
+    # trailing slash would make dirname() point INSIDE the checkpoint
+    # and the args.json lookup fail
+    return os.path.normpath(dummy_args.model_path)
 
 
 def add_base_options(parser: ArgumentParser):
@@ -97,7 +120,7 @@ def add_diffusion_options(parser: ArgumentParser):
                        choices=["linear", "cosine"], type=str)
     group.add_argument("--diffusion_steps", default=1000, type=int,
                        help="Number of diffusion steps (T).")
-    group.add_argument("--sigma_small", default=True, type=bool,
+    group.add_argument("--sigma_small", default=True, type=str2bool,
                        help="Use smaller sigma values.")
 
 
@@ -105,7 +128,7 @@ def add_model_options(parser: ArgumentParser):
     group = parser.add_argument_group("model")
     group.add_argument("--arch", default="trans_enc",
                        choices=["trans_enc", "trans_dec", "gru"], type=str)
-    group.add_argument("--emb_trans_dec", default=False, type=bool)
+    group.add_argument("--emb_trans_dec", default=False, type=str2bool)
     group.add_argument("--layers", default=8, type=int)
     group.add_argument("--latent_dim", default=256, type=int)
     group.add_argument("--cond_mask_prob", default=0.1, type=float,

@@ -24,9 +24,17 @@ class HashTextEmbedder:
         self.dim = dim
 
     def __call__(self, texts: list[str]) -> np.ndarray:
+        import hashlib
+
         out = np.zeros((len(texts), self.dim), np.float32)
         for i, t in enumerate(texts):
-            rs = np.random.RandomState(abs(hash(t)) % (2**31))
+            # stable digest, NOT hash(): the built-in is salted per
+            # process, so a model trained with these embeddings would see
+            # DIFFERENT vectors for the same caption at sampling time
+            seed = int.from_bytes(
+                hashlib.md5(t.encode()).digest()[:4], "little"
+            )
+            rs = np.random.RandomState(seed)
             out[i] = rs.randn(self.dim).astype(np.float32) * 0.1
         return out
 

@@ -16,6 +16,7 @@ stands in (loudly logged).
 
 from __future__ import annotations
 
+import functools
 import os
 from typing import Optional
 
@@ -57,6 +58,64 @@ def _fk_joints(smpl: SMPLModel, pose_aa: jax.Array, transl: jax.Array):
         jnp.zeros((pose_aa.shape[0], smpl.num_betas)), mats, transl
     )
     return joints
+
+
+@functools.lru_cache(maxsize=8)
+def _make_stage_runner(lr: float, num_iters: int, pose_prior):
+    """Build the jitted two-stage SMPLify runner ONCE per
+    (lr, num_iters, prior) — defining it inside joints2smpl created a
+    fresh closure per call, so jit's cache never hit and the 150-step
+    optimization scan recompiled on every repetition/clip."""
+    tx = optax.adam(lr)
+
+    @functools.partial(jax.jit, static_argnames=("fit_pose",))
+    def run_stage(smpl, target, subset, params, *, fit_pose: bool):
+        def keypoint_err(params):
+            pose, transl = params
+            pred = _fk_joints(smpl, pose, transl)
+            err = pred[:, subset] - target[:, subset]
+            return jnp.mean(jnp.sum(err**2, -1))
+
+        def objective(params):
+            pose, transl = params
+            pred = _fk_joints(smpl, pose, transl)
+            err = pred[:, subset] - target[:, subset]
+            if not fit_pose:
+                # stage 1 (camera/global): plain squared 3D keypoint error
+                # (reference: smplify.py:168, customloss.py:191-222)
+                return jnp.mean(jnp.sum(err**2, -1))
+            # stage 2 (body): reference body_fitting_loss_3d form
+            joint_loss = (JOINT_LOSS_WEIGHT**2) * jnp.sum(
+                gmof(err, GMOF_SIGMA), axis=(-1, -2)
+            )
+            body = pose[:, 1:].reshape(pose.shape[0], -1)
+            ang = (ANGLE_PRIOR_WEIGHT**2) * jnp.sum(angle_prior(body), -1)
+            if pose_prior is not None:
+                pp = (POSE_PRIOR_WEIGHT**2) * pose_prior(body)
+            else:
+                pp = (POSE_PRIOR_WEIGHT**2) * jnp.sum(body**2, -1)
+            return jnp.sum(joint_loss + ang + pp)
+
+        opt_state = tx.init(params)
+
+        def step(carry, _):
+            params, opt_state = carry
+            loss, grads = jax.value_and_grad(objective)(params)
+            if not fit_pose:
+                # stage 1: only global orient + translation move
+                gp, gt = grads
+                gp = gp.at[:, 1:].set(0.0)
+                grads = (gp, gt)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), loss
+
+        (params, _), _ = jax.lax.scan(
+            step, (params, opt_state), None, length=num_iters
+        )
+        return params, keypoint_err(params)
+
+    return run_stage
 
 
 def joints2smpl(
@@ -111,61 +170,13 @@ def joints2smpl(
     )
     transl0 = target[:, 0] - _fk_joints(smpl, pose0, jnp.zeros((t, 3)))[:, 0]
 
-    def keypoint_err(params):
-        pose, transl = params
-        pred = _fk_joints(smpl, pose, transl)
-        err = pred[:, subset] - target[:, subset]
-        return jnp.mean(jnp.sum(err**2, -1))
-
-    def objective(params, fit_pose: bool):
-        pose, transl = params
-        pred = _fk_joints(smpl, pose, transl)
-        err = pred[:, subset] - target[:, subset]
-        if not fit_pose:
-            # stage 1 (camera/global): plain squared 3D keypoint error
-            # (reference: smplify.py:168, customloss.py:191-222)
-            return jnp.mean(jnp.sum(err**2, -1))
-        # stage 2 (body): reference body_fitting_loss_3d form
-        joint_loss = (JOINT_LOSS_WEIGHT**2) * jnp.sum(
-            gmof(err, GMOF_SIGMA), axis=(-1, -2)
-        )
-        body = pose[:, 1:].reshape(pose.shape[0], -1)
-        ang = (ANGLE_PRIOR_WEIGHT**2) * jnp.sum(angle_prior(body), -1)
-        if pose_prior is not None:
-            pp = (POSE_PRIOR_WEIGHT**2) * pose_prior(body)
-        else:
-            pp = (POSE_PRIOR_WEIGHT**2) * jnp.sum(body**2, -1)
-        return jnp.sum(joint_loss + ang + pp)
-
-    tx = optax.adam(lr)
-
-    from functools import partial
-
-    @partial(jax.jit, static_argnums=1)
-    def run_stage(params, fit_pose: bool):
-        opt_state = tx.init(params)
-
-        def step(carry, _):
-            params, opt_state = carry
-            loss, grads = jax.value_and_grad(objective)(params, fit_pose)
-            if not fit_pose:
-                # stage 1: only global orient + translation move
-                gp, gt = grads
-                gp = gp.at[:, 1:].set(0.0)
-                grads = (gp, gt)
-            updates, opt_state = tx.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            return (params, opt_state), loss
-
-        (params, _), _ = jax.lax.scan(
-            step, (params, opt_state), None, length=num_smplify_iters
-        )
-        return params, keypoint_err(params)
+    run_stage = _make_stage_runner(lr, num_smplify_iters, pose_prior)
 
     # stage 1: camera/global (reference: smplify.py:168)
-    params, loss1 = run_stage((pose0, transl0), False)
+    params, loss1 = run_stage(smpl, target, subset, (pose0, transl0),
+                              fit_pose=False)
     # stage 2: full body (reference: smplify.py:218)
-    params, loss2 = run_stage(params, True)
+    params, loss2 = run_stage(smpl, target, subset, params, fit_pose=True)
     pose, transl = params
     return {
         "thetas": np.asarray(pose),

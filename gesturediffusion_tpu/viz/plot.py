@@ -82,7 +82,7 @@ def plot_3d_motion(
         ax.set_ylim3d([0, radius])
         ax.set_zlim3d([-radius / 3.0, radius * 2 / 3.0])
         fig.suptitle(title, fontsize=10)
-        ax.grid(b=False)
+        ax.grid(False)
 
     def plot_xz_plane(minx, maxx, miny, minz, maxz):
         verts = [
@@ -96,7 +96,8 @@ def plot_3d_motion(
         ax.add_collection3d(xz_plane)
 
     def update(index):
-        ax.clear()
+        ax.clear()  # resets the grid to default-ON — re-disable below
+        ax.grid(False)
         ax.view_init(elev=120, azim=-90)
         ax.dist = 7.5
         ax.set_xlim3d([-radius / 2, radius / 2])

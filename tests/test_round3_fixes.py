@@ -6,6 +6,8 @@ classifier tars, reference: eval/a2m/stgcn/evaluate.py:22,
 eval/a2m/gru_eval.py:60-68).
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -180,3 +182,75 @@ class TestRespacingString:
         )
 
         assert respacing_string(None, "ddpm", "uniform") is None
+
+
+class TestUtilsVizReviewFixes:
+    """Round-3 utils/viz review regressions."""
+
+    def test_str2bool_parses_false(self):
+        from gesturediffusion_tpu.utils.parser import str2bool
+
+        assert str2bool("False") is False
+        assert str2bool("true") is True
+        assert str2bool("0") is False
+        with pytest.raises(Exception):
+            str2bool("maybe")
+
+    def test_default_output_dir_trailing_slash_and_pt(self):
+        from gesturediffusion_tpu.utils.parser import default_output_dir
+
+        # orbax checkpoint dirs tab-complete with a trailing slash
+        assert default_output_dir(
+            "save/run/model000600000/", "samples", "seed10"
+        ) == "save/run/samples_run_000600000_seed10"
+        # torch checkpoints strip the extension (reference convention)
+        assert default_output_dir(
+            "save/run/model000400000.pt", "edit", "seed3"
+        ) == "save/run/edit_run_000400000_seed3"
+
+    def test_csv_logger_survives_resume_with_narrower_kvs(self, tmp_path):
+        """Resume regression: the first dump after restart may lack
+        eval/* columns the existing progress.csv already has."""
+        from gesturediffusion_tpu.utils.logger import CSVOutputFormat
+
+        p = str(tmp_path / "progress.csv")
+        w1 = CSVOutputFormat(p)
+        w1.writekvs({"loss": 1.0, "eval/fid": 5.0})
+        # new process: narrower first dump
+        w2 = CSVOutputFormat(p)
+        w2.writekvs({"loss": 0.5})
+        import csv as _csv
+
+        rows = list(_csv.DictReader(open(p)))
+        assert rows[0]["eval/fid"] == "5.0"
+        assert rows[1]["loss"] == "0.5"
+
+    def test_hash_text_embedder_is_process_stable(self):
+        import hashlib
+        import subprocess
+        import sys
+
+        from gesturediffusion_tpu.utils.text_embedder import (
+            HashTextEmbedder,
+        )
+
+        emb = HashTextEmbedder(dim=16)
+        v = emb(["a person walks"])
+        out = subprocess.run(
+            [sys.executable, "-c",
+             "from gesturediffusion_tpu.utils.text_embedder import "
+             "HashTextEmbedder;"
+             "print(float(HashTextEmbedder(dim=16)(['a person walks'])"
+             ".sum()))"],
+            capture_output=True, text=True,
+            env=dict(os.environ, PYTHONHASHSEED="999",
+                     JAX_PLATFORMS="cpu"),
+        )
+        assert abs(float(out.stdout.strip()) - float(v.sum())) < 1e-5
+
+    def test_stage_runner_is_cached(self):
+        from gesturediffusion_tpu.viz.joints2smpl import _make_stage_runner
+
+        assert _make_stage_runner(0.02, 150, None) is _make_stage_runner(
+            0.02, 150, None
+        )
