@@ -259,7 +259,11 @@ def bench_gesture():
         out = take(jax.random.PRNGKey(i + 1), chunk_conds, cond_init["seed"])
     jax.block_until_ready(out)
     elapsed = time.perf_counter() - t0
-    per_chip = (B * C * n_takes_timed / elapsed) / jax.device_count()
+    # the bench program is UNSHARDED (arrays commit to one chip), so
+    # per-chip = total/1 regardless of how many devices are visible —
+    # dividing by device_count() would under-report by N on a multi-chip
+    # host without making the other chips do any work
+    per_chip = B * C * n_takes_timed / elapsed
     print(json.dumps({
         "metric": (
             f"genea_take14_ddpm1000_cfg_{n_sets}x41takes_"
@@ -327,7 +331,7 @@ def bench_humanml():
     jax.block_until_ready(out)
     elapsed = time.perf_counter() - t_start
 
-    per_chip = (B * n_iters / elapsed) / jax.device_count()
+    per_chip = B * n_iters / elapsed  # unsharded: one chip does the work
     print(json.dumps({
         "metric": "humanml3d_ddpm1000_cfg_samples_per_sec_per_chip",
         "value": round(per_chip, 4),

@@ -22,15 +22,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from gesturediffusion_tpu.data.collate import (
-    collate_gesture,
-    device_cond,
-    lengths_to_mask,
-)
-from gesturediffusion_tpu.data.humanml_utils import (
-    HML_LOWER_BODY_MASK,
-    HML_UPPER_BODY_MASK,
-)
+from gesturediffusion_tpu.data.collate import collate_gesture, device_cond
+from gesturediffusion_tpu.data.humanml_utils import HML_LOWER_BODY_MASK
 from gesturediffusion_tpu.diffusion import sampling
 from gesturediffusion_tpu.ops.motion_process import recover_from_ric
 from gesturediffusion_tpu.utils import logger as log_lib
@@ -63,10 +56,15 @@ def build_edit_masks(
             mask[i, :, :, start:end] = False
         return mask
     if edit_mode == "upper_body":
+        if feature_mask is None and d != HML_LOWER_BODY_MASK.shape[0]:
+            raise ValueError(
+                f"upper_body editing needs a per-feature mask: the "
+                f"built-in lower-body mask covers the HumanML3D "
+                f"{HML_LOWER_BODY_MASK.shape[0]}-dim codec, not this "
+                f"{d}-dim representation — pass feature_mask explicitly"
+            )
         feat = (
-            feature_mask
-            if feature_mask is not None
-            else HML_LOWER_BODY_MASK[:d]
+            feature_mask if feature_mask is not None else HML_LOWER_BODY_MASK
         )
         return np.broadcast_to(
             np.asarray(feat, bool)[None, :, None, None], (b, d, 1, t)
@@ -125,9 +123,16 @@ def main(argv=None):
     model, diffusion = create_model_and_diffusion(args, dataset)
     params = load_checkpoint(args.model_path, model=model)["params"]
 
-    # empty text condition => unconditioned editing (guidance 0)
+    # empty text condition => unconditioned editing (guidance 0) — but
+    # ONLY for text-conditioned models (reference edit.py:66-70 targets
+    # humanml). Gesture models condition on audio+seed: forcing
+    # guidance 0 there would run the CFG branch that MASKS the seed-pose
+    # conditioning and silently discard --guidance_param.
+    text_conditioned = args.dataset in ("humanml", "kit")
     has_text = args.text_condition != ""
-    guidance = args.guidance_param if has_text else 0.0
+    guidance = (
+        0.0 if (text_conditioned and not has_text) else args.guidance_param
+    )
 
     # MDM sampling fast path (models/mdm_fastpath.py), as in generate.py
     from gesturediffusion_tpu.models.mdm_fastpath import (

@@ -104,6 +104,19 @@ def main(argv=None):
         args.model_path, "samples", f"seed{args.seed}"
     )
 
+    if args.dataset not in ("genea2022", "genea2023", "synthetic"):
+        # the reference fork's generate.py is gesture-only (hardcoded
+        # takes/chunks + audio conditioning, sample/generate.py:46-47);
+        # text/action models sample via sample.predict (programmatic) or
+        # the eval protocols
+        raise SystemExit(
+            f"sample.generate is the GESTURE generator (audio-conditioned "
+            f"chunked AR), like the reference fork's; --dataset "
+            f"{args.dataset} has no audio takes. Use "
+            f"gesturediffusion_tpu.sample.predict (text-to-motion) or the "
+            f"eval CLIs instead."
+        )
+
     log_lib.log("Loading dataset...")
     dataset = get_dataset(
         args.dataset,
@@ -121,6 +134,19 @@ def main(argv=None):
         per_take, take_starts, take_ids = layout
         n_takes = min(args.num_samples, len(per_take))
         chunks_per_take = int(per_take[:n_takes].min())
+        step = int(getattr(dataset, "step", args.num_frames))
+        if chunks_per_take > 1 and step != args.num_frames:
+            # chunk k+1 must start exactly where chunk k ends for the
+            # AR seed hand-off + concatenation to form a real take;
+            # Genea2022's fixed step=30 < window makes consecutive
+            # windows OVERLAP, so stitching would repeat content
+            raise SystemExit(
+                f"chunked AR generation needs non-overlapping windows "
+                f"(dataset step {step} != num_frames {args.num_frames}); "
+                f"this split's windows overlap — use --num_samples per "
+                f"single window or a split with step == window (like the "
+                f"genea2023 val split)"
+            )
     else:
         n_takes = min(args.num_samples, len(dataset))
         chunks_per_take = 1
@@ -254,7 +280,11 @@ def main(argv=None):
     gt_pos = np.concatenate(all_gt_pos, axis=1)
     gt_rot = np.concatenate(all_gt_rot, axis=1)
     audios = np.concatenate(all_audio, axis=1) if all_audio else None
-    lengths = np.concatenate(all_lengths, axis=0)
+    # reference contract (sample/generate.py:190-191): text/lengths are
+    # TRIMMED to the sample count — one entry per take (chunk 0's), so
+    # they pair 1:1 with the motion rows
+    all_text = all_text[:n_takes]
+    lengths = np.concatenate(all_lengths, axis=0)[:n_takes]
 
     if os.path.exists(out_path):
         shutil.rmtree(out_path)
@@ -320,11 +350,18 @@ def main(argv=None):
                 (audios[i] * 32767).astype(np.int16),
             )
             if shutil.which("ffmpeg") and os.path.isfile(anim_path + ".mp4"):
-                os.system(
-                    f"ffmpeg -y -loglevel warning -i {anim_path}.mp4 "
-                    f"-i {anim_path}.wav -c:v copy -map 0:v:0 -map 1:a:0 "
-                    f"-c:a aac -b:a 192k {anim_path}_audio.mp4"
+                import subprocess
+
+                # list argv: paths with spaces/metacharacters stay intact
+                r = subprocess.run(
+                    ["ffmpeg", "-y", "-loglevel", "warning",
+                     "-i", anim_path + ".mp4", "-i", anim_path + ".wav",
+                     "-c:v", "copy", "-map", "0:v:0", "-map", "1:a:0",
+                     "-c:a", "aac", "-b:a", "192k",
+                     anim_path + "_audio.mp4"],
                 )
+                if r.returncode != 0:
+                    log_lib.log(f"  (audio mux failed: ffmpeg rc {r.returncode})")
 
     log_lib.log(f"[Done] Results are at [{os.path.abspath(out_path)}]")
     return out_path

@@ -82,7 +82,11 @@ class Predictor:
             return self.model.apply(self.params, x, t, c)
 
         model_fn = (
-            classifier_free_guidance(base_model_fn, 0.1)
+            # the model's OWN dropout prob, so the no-CFG-without-dropout
+            # guard actually fires for cond_mask_prob=0 models
+            classifier_free_guidance(
+                base_model_fn, self.model.cond_mask_prob
+            )
             if guidance_param != 1
             else base_model_fn
         )
