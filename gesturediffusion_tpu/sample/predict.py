@@ -143,3 +143,85 @@ class Predictor:
             "length": n_frames,
             "prompt": prompt,
         }
+
+
+def main(argv=None):
+    """CLI front end for the Predictor (the reference serves this via
+    cog, cog.yaml + predict.py:60-167; here it is a plain command):
+
+        python -m gesturediffusion_tpu.sample.predict \\
+            --model_path save/run/model000600000 \\
+            --text "a person walks forward" --num_repetitions 3
+    """
+    import argparse
+    import json
+    import os
+
+    ap = argparse.ArgumentParser(description=main.__doc__)
+    ap.add_argument("--model_path", required=True)
+    ap.add_argument("--text", required=True, help="text prompt")
+    ap.add_argument("--num_repetitions", type=int, default=3)
+    ap.add_argument("--motion_length", type=float, default=6.0,
+                    help="seconds (reference predict.py caps at 9.8)")
+    ap.add_argument("--guidance_param", type=float, default=2.5)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--dataset_root", default="",
+                    help="dataset dir with Mean.npy/Std.npy (optional)")
+    ap.add_argument("--output_dir", default="")
+    # small-config overrides (the reference hardcodes humanml-512)
+    ap.add_argument("--latent_dim", type=int, default=512)
+    ap.add_argument("--layers", type=int, default=8)
+    ap.add_argument("--njoints", type=int, default=263)
+    ap.add_argument("--ff_size", type=int, default=1024)
+    ap.add_argument("--diffusion_steps", type=int, default=1000)
+    args = ap.parse_args(argv)
+
+    from gesturediffusion_tpu.diffusion import (
+        ModelMeanType,
+        create_diffusion,
+    )
+    from gesturediffusion_tpu.utils.parser import default_output_dir
+
+    model = MotionMDM(
+        njoints=args.njoints, nfeats=1, latent_dim=args.latent_dim,
+        ff_size=args.ff_size, num_layers=args.layers, num_heads=4,
+        cond_mode="text", cond_mask_prob=0.1,
+    )
+    diffusion = create_diffusion(
+        steps=args.diffusion_steps, noise_schedule="cosine",
+        model_mean_type=ModelMeanType.START_X,
+    )
+    predictor = Predictor(
+        args.model_path, guidance_param=args.guidance_param,
+        dataset_root=args.dataset_root or None,
+        model=model, diffusion=diffusion,
+    )
+    out = predictor.predict(
+        args.text, num_repetitions=args.num_repetitions,
+        seed=args.seed, motion_length=args.motion_length,
+    )
+
+    out_path = args.output_dir or default_output_dir(
+        args.model_path, "predict", f"seed{args.seed}"
+    )
+    os.makedirs(out_path, exist_ok=True)
+    np.save(os.path.join(out_path, "results.npy"), {
+        "motion": out["motion_xyz"],
+        "text": [args.text] * args.num_repetitions,
+        "lengths": np.full((args.num_repetitions,), out["length"]),
+        "num_samples": args.num_repetitions,
+    })
+    with open(os.path.join(out_path, "results.txt"), "w") as f:
+        f.write("\n".join([args.text] * args.num_repetitions))
+    print(json.dumps({
+        "output_dir": os.path.abspath(out_path),
+        "frames": out["length"],
+        "repetitions": args.num_repetitions,
+    }))
+    return out_path
+
+
+if __name__ == "__main__":
+    import sys
+
+    main(sys.argv[1:])

@@ -85,3 +85,41 @@ class TestPredictor:
         p = self._build(tiny_ckpt, guidance_param=1.0)
         out = p.predict("turn around", num_repetitions=1, seed=0)
         assert np.isfinite(out["motion_xyz"]).all()
+
+
+class TestPredictCLI:
+    def test_cli_main_writes_results(self, tiny_ckpt, tmp_path):
+        """The cog-equivalent CLI surface (predict.main): results.npy +
+        results.txt with the right shapes and naming."""
+        from gesturediffusion_tpu.sample.predict import main
+
+        path, model = tiny_ckpt
+        out_dir = str(tmp_path / "out")
+        got = main([
+            "--model_path", path, "--text", "a person waves",
+            "--num_repetitions", "2", "--motion_length", "1.0",
+            "--seed", "3", "--output_dir", out_dir,
+            "--latent_dim", "32", "--layers", "1", "--ff_size", "64",
+            "--njoints", str(DIM), "--diffusion_steps", "8",
+        ])
+        assert got == out_dir
+        results = np.load(os.path.join(out_dir, "results.npy"),
+                          allow_pickle=True).item()
+        assert results["motion"].shape[0] == 2          # repetitions
+        assert results["motion"].shape[1] == J_SKEL      # joints
+        assert np.isfinite(results["motion"]).all()
+        assert results["text"] == ["a person waves"] * 2
+        txt = open(os.path.join(out_dir, "results.txt")).read()
+        assert txt.count("a person waves") == 2
+
+    def test_cli_default_output_dir(self, tiny_ckpt):
+        from gesturediffusion_tpu.sample.predict import main
+
+        path, _ = tiny_ckpt
+        got = main([
+            "--model_path", path, "--text", "x", "--num_repetitions", "1",
+            "--motion_length", "0.5", "--latent_dim", "32", "--layers",
+            "1", "--ff_size", "64", "--njoints", str(DIM),
+            "--diffusion_steps", "8",
+        ])
+        assert os.path.basename(got) == "predict_predict0_000000001_seed0"
