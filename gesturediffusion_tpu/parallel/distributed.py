@@ -15,8 +15,14 @@ replacement (SURVEY.md §2.9/§5) is:
     `jax.make_array_from_process_local_data` assembles the logically
     global sharded batch.
 
-Real multi-host cannot run in this environment; the sharding/index math
-is unit-tested and the dryrun exercises the assembly path on one process.
+Multi-HOST hardware cannot run in this environment, but the full
+multi-PROCESS path is executed for real: tests/test_distributed.py
+::TestRealMultiProcess spawns two processes over a localhost
+coordinator (4 CPU devices each), builds the global mesh, loads
+per-process shards, and runs jitted train steps with actual
+cross-process collectives — losses match a single-process run over the
+same 8 devices.  The remaining untested delta to a TPU pod is the
+DCN/ICI transport, not this code path.
 """
 
 from __future__ import annotations

@@ -1,9 +1,9 @@
-"""Multi-host scaffolding: per-process batch slicing + global assembly.
-
-Real multi-host can't run here; correctness bar is the index math and the
-single-process `make_array_from_process_local_data` path over the virtual
-8-device CPU mesh (conftest forces cpu with 8 devices).
+"""Multi-host scaffolding: per-process batch slicing + global assembly,
+plus REAL 2-process execution (TestRealMultiProcess): jax.distributed
+over a localhost coordinator with actual cross-process collectives.
 """
+
+import os
 
 import jax
 import jax.numpy as jnp
@@ -194,3 +194,70 @@ class TestMeshClamp:
         monkeypatch.setattr(jax, "process_count", lambda: 2)
         with pytest.raises(ValueError, match="Multi-process"):
             mesh_lib.make_data_mesh_for_batch(12)
+
+
+class TestRealMultiProcess:
+    """REAL 2-process execution: jax.distributed over a localhost
+    coordinator, a global (data,) mesh spanning both processes' CPU
+    devices, per-process loader slices, make_global_batch assembly, and
+    two jitted train steps with actual cross-process collectives.
+
+    The losses must (a) agree across the two processes and (b) match a
+    single-process run over the same 8 devices — every input is
+    deterministic, so the global computation is identical."""
+
+    def _spawn(self, tmp_path):
+        import socket
+        import subprocess
+        import sys
+
+        with socket.socket() as s:  # free localhost port
+            s.bind(("127.0.0.1", 0))
+            port = s.getsockname()[1]
+
+        procs = []
+        for pid in range(2):
+            env = dict(
+                os.environ,
+                JAX_PLATFORMS="cpu",
+                XLA_FLAGS="--xla_force_host_platform_device_count=4",
+                GDT_COORDINATOR_ADDRESS=f"127.0.0.1:{port}",
+                GDT_NUM_PROCESSES="2",
+                GDT_PROCESS_ID=str(pid),
+                GDT_MP_SAVE_DIR=str(tmp_path),
+            )
+            procs.append(subprocess.Popen(
+                [sys.executable,
+                 os.path.join(os.path.dirname(__file__),
+                              "mp_train_worker.py")],
+                env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                text=True,
+            ))
+        outs = []
+        for p in procs:
+            out, _ = p.communicate(timeout=480)
+            outs.append(out)
+        return procs, outs
+
+    def test_two_process_train_step_matches_single_process(self, tmp_path):
+        procs, outs = self._spawn(tmp_path)
+        for p, out in zip(procs, outs):
+            assert p.returncode == 0, out[-3000:]
+            assert "WORKER_OK" in out, out[-3000:]
+            assert "global=8" in out, out[-2000:]
+
+        def losses(out):
+            return [float(ln.split()[2]) for ln in out.splitlines()
+                    if ln.startswith("MPLOSS")]
+
+        l0, l1 = losses(outs[0]), losses(outs[1])
+        assert len(l0) == len(l1) == 2
+        np.testing.assert_allclose(l0, l1, rtol=1e-6)
+
+        # single-process reference over the same 8 devices
+        from tests.mp_train_common import build_loop, run_steps
+
+        mesh = mesh_lib.make_mesh(model=1)
+        loop = build_loop(mesh, save_dir=str(tmp_path / "single"))
+        ref = run_steps(loop, n=2)
+        np.testing.assert_allclose(l0, ref, rtol=1e-5)
