@@ -47,7 +47,9 @@ def build_loop(mesh, save_dir: str, process_count: int = 1,
     cfg = TrainConfig(save_dir=save_dir, lr=1e-3, num_steps=2,
                       batch_size=B, log_interval=1000,
                       save_interval=10_000, seed=0)
-    return TrainLoop(cfg, diffusion, apply_fn, params, data, mesh=mesh)
+    loop = TrainLoop(cfg, diffusion, apply_fn, params, data, mesh=mesh)
+    loop._mp_apply = lambda p, x, t, c: model.apply(p, x, t, c)
+    return loop
 
 
 def run_steps(loop: TrainLoop, n: int = 2) -> list:
@@ -67,3 +69,47 @@ def run_steps(loop: TrainLoop, n: int = 2) -> list:
         )
         losses.append(float(jax.device_get(metrics["loss"])))
     return losses
+
+
+def run_sample(loop: TrainLoop) -> float:
+    """One dp-sharded DDIM chain over the global mesh with the loop's
+    (post-step) params; deterministic, so single- and multi-process runs
+    must produce the same checksum."""
+    import jax.numpy as jnp
+
+    from gesturediffusion_tpu.diffusion import create_diffusion
+    from gesturediffusion_tpu.diffusion.sampling import ddim_sample_loop
+
+    from gesturediffusion_tpu.parallel import distributed as dist_lib
+
+    ds = loop.data.dataset  # identical items in every process
+    # multi-process shard_batch expects this process's LOCAL slice of
+    # the global batch (exactly like the loader feeds it)
+    sl = (dist_lib.local_batch_slice(
+        B, jax.process_count(), jax.process_index())
+        if jax.process_count() > 1 else slice(0, B))
+    items = [ds[i] for i in range(B)][sl]
+    _, cond = collate_gesture(items, max_frames=T)
+    dcond = {k: np.asarray(v) for k, v in device_cond(cond).items()}
+    dcond = mesh_lib.shard_batch(loop.mesh, dcond)
+
+    diffusion = create_diffusion(
+        steps=16, model_mean_type=ModelMeanType.START_X,
+        timestep_respacing="ddim4",
+    )
+    apply = loop._mp_apply  # eval-mode apply, set by build_loop
+
+    # global arrays (params live on the global mesh) must be ARGUMENTS —
+    # closing over non-addressable-device arrays is rejected under
+    # multi-process jit
+    @jax.jit
+    def sample(params, c, rng):
+        out = ddim_sample_loop(
+            diffusion, lambda x, t, cc: apply(params, x, t, cc),
+            (B, J, 1, T), rng, c,
+        )
+        return jnp.sum(out * out)
+
+    return float(jax.device_get(
+        sample(loop.state.params, dcond, jax.random.PRNGKey(7))
+    ))

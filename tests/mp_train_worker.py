@@ -29,7 +29,7 @@ assert dist_lib.maybe_initialize(), "GDT_COORDINATOR_ADDRESS must be set"
 import numpy as np
 
 from gesturediffusion_tpu.parallel import mesh as mesh_lib
-from tests.mp_train_common import build_loop, run_steps
+from tests.mp_train_common import build_loop, run_sample, run_steps
 
 
 def main():
@@ -47,6 +47,7 @@ def main():
     losses = run_steps(loop, n=2)
     for i, l in enumerate(losses):
         print(f"MPLOSS {i} {l:.6f}", flush=True)
+    print(f"MPSAMPLE {run_sample(loop):.4f}", flush=True)
     print(f"proc {pid}: WORKER_OK", flush=True)
 
 

@@ -254,10 +254,20 @@ class TestRealMultiProcess:
         assert len(l0) == len(l1) == 2
         np.testing.assert_allclose(l0, l1, rtol=1e-6)
 
+        def checksum(out):
+            return [float(ln.split()[1]) for ln in out.splitlines()
+                    if ln.startswith("MPSAMPLE")]
+
+        s0, s1 = checksum(outs[0]), checksum(outs[1])
+        assert len(s0) == len(s1) == 1
+        np.testing.assert_allclose(s0, s1, rtol=1e-6)
+
         # single-process reference over the same 8 devices
-        from tests.mp_train_common import build_loop, run_steps
+        from tests.mp_train_common import build_loop, run_sample, run_steps
 
         mesh = mesh_lib.make_mesh(model=1)
         loop = build_loop(mesh, save_dir=str(tmp_path / "single"))
         ref = run_steps(loop, n=2)
         np.testing.assert_allclose(l0, ref, rtol=1e-5)
+        # dp-sharded SAMPLING checksum matches too
+        np.testing.assert_allclose(s0, [run_sample(loop)], rtol=1e-5)
