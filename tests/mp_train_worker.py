@@ -48,6 +48,16 @@ def main():
     for i, l in enumerate(losses):
         print(f"MPLOSS {i} {l:.6f}", flush=True)
     print(f"MPSAMPLE {run_sample(loop):.4f}", flush=True)
+
+    # save -> resume -> one more step, all processes participating in
+    # the (coordinated) orbax write of the global-mesh state
+    shared_dir = os.environ["GDT_MP_SAVE_DIR"] + "/shared"
+    loop.config = loop.config.__class__(**{
+        **loop.config.__dict__, "save_dir": shared_dir})
+    path = loop.save()
+    loop.load(path)
+    post = run_steps(loop, n=1)
+    print(f"MPRESUME {post[0]:.6f}", flush=True)
     print(f"proc {pid}: WORKER_OK", flush=True)
 
 

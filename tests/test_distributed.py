@@ -262,6 +262,15 @@ class TestRealMultiProcess:
         assert len(s0) == len(s1) == 1
         np.testing.assert_allclose(s0, s1, rtol=1e-6)
 
+        # coordinated orbax save -> load -> step under the global mesh
+        def resume(out):
+            return [float(ln.split()[1]) for ln in out.splitlines()
+                    if ln.startswith("MPRESUME")]
+
+        r0, r1 = resume(outs[0]), resume(outs[1])
+        assert len(r0) == len(r1) == 1
+        np.testing.assert_allclose(r0, r1, rtol=1e-6)
+
         # single-process reference over the same 8 devices
         from tests.mp_train_common import build_loop, run_sample, run_steps
 
