@@ -100,7 +100,19 @@ def get_dataset_loader(
     elif name in ("humanml", "kit"):
         collate_fn = partial(collate_gesture, max_frames=196)
     else:
-        collate_fn = partial(collate_gesture, max_frames=num_frames)
+        # derive the static audio pad target from the dataset's own
+        # audio rate (the 735 default only holds for 22050 Hz / 30 fps)
+        spf = (
+            round(dataset.sr / dataset.fps)
+            if hasattr(dataset, "sr") and hasattr(dataset, "fps")
+            else None
+        )
+        collate_fn = (
+            partial(collate_gesture, max_frames=num_frames,
+                    audio_samples_per_frame=spf)
+            if spf
+            else partial(collate_gesture, max_frames=num_frames)
+        )
     return DataLoader(
         dataset,
         batch_size=batch_size,

@@ -385,15 +385,17 @@ def load_eval_renorm(dataset, log=None, dataset_name="humanml"):
         if os.path.isfile(mean_p) and os.path.isfile(std_p):
             ev_mean, ev_std = np.load(mean_p), np.load(std_p)
             if ev_mean.shape != np.shape(dataset.mean):
-                # synthetic / reduced-dim fixtures: the real T2M stats
-                # do not apply — renorm would broadcast-error downstream
-                log(f"{prefix} evaluator stats are {ev_mean.shape[0]}-dim "
-                    f"but the dataset is {np.shape(dataset.mean)[0]}-dim "
-                    "— skipping renorm (NOT metric-parity)")
-                return None
+                # dimension mismatch (synthetic / reduced-dim stand-in in
+                # this directory): try the NEXT candidate dir — a stale
+                # cwd fixture must not shadow the repo-shipped real stats
+                log(f"{prefix} evaluator stats at {mean_p} are "
+                    f"{ev_mean.shape[0]}-dim but the dataset is "
+                    f"{np.shape(dataset.mean)[0]}-dim — ignoring them")
+                continue
             return (dataset.mean, dataset.std, ev_mean, ev_std)
-    log(f"{prefix} evaluator norm stats not found — generated motions "
-        "evaluated in training normalization (NOT metric-parity)")
+    log(f"{prefix} evaluator norm stats not found (or none match the "
+        "dataset dim) — generated motions evaluated in training "
+        "normalization (NOT metric-parity)")
     return None
 
 

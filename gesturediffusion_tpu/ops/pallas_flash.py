@@ -90,14 +90,18 @@ def fused_self_attention(
     b, h, t, d = q.shape
     scale = d**-0.5
 
-    # pad T to one tile when it fits a single block, else to the block
-    # grid; D pads to the 128 lane tile
+    # pad T to one tile when it fits a single block, else to a common
+    # multiple of BOTH block sizes (padding to only the larger one would
+    # silently drop the other axis's tail); D pads to the 128 lane tile
     if t <= block_q and t <= block_k:
         tp = -(-t // 16) * 16
         bq, bk = tp, tp
     else:
+        import math
+
         bq, bk = block_q, block_k
-        tp = -(-t // max(bq, bk)) * max(bq, bk)
+        lcm = math.lcm(bq, bk)
+        tp = -(-t // lcm) * lcm
     dp = -(-d // 128) * 128
     pad = [(0, 0), (0, 0), (0, tp - t), (0, dp - d)]
     qp = jnp.pad(q, pad).reshape(b * h, tp, dp)

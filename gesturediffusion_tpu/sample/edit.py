@@ -127,8 +127,9 @@ def main(argv=None):
     # ONLY for text-conditioned models (reference edit.py:66-70 targets
     # humanml). Gesture models condition on audio+seed: forcing
     # guidance 0 there would run the CFG branch that MASKS the seed-pose
-    # conditioning and silently discard --guidance_param.
-    text_conditioned = args.dataset in ("humanml", "kit")
+    # conditioning and silently discard --guidance_param.  Derived from
+    # the MODEL (cond_mode), not a dataset-name list.
+    text_conditioned = getattr(model, "cond_mode", None) == "text"
     has_text = args.text_condition != ""
     guidance = (
         0.0 if (text_conditioned and not has_text) else args.guidance_param

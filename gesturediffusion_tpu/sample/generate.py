@@ -104,7 +104,9 @@ def main(argv=None):
         args.model_path, "samples", f"seed{args.seed}"
     )
 
-    if args.dataset not in ("genea2022", "genea2023", "synthetic"):
+    from gesturediffusion_tpu.utils.model_factory import GESTURE_DATASETS
+
+    if args.dataset not in GESTURE_DATASETS:
         # the reference fork's generate.py is gesture-only (hardcoded
         # takes/chunks + audio conditioning, sample/generate.py:46-47);
         # text/action models sample via sample.predict (programmatic) or
@@ -281,10 +283,15 @@ def main(argv=None):
     gt_rot = np.concatenate(all_gt_rot, axis=1)
     audios = np.concatenate(all_audio, axis=1) if all_audio else None
     # reference contract (sample/generate.py:190-191): text/lengths are
-    # TRIMMED to the sample count — one entry per take (chunk 0's), so
-    # they pair 1:1 with the motion rows
+    # TRIMMED to the sample count so they pair 1:1 with the motion rows.
+    # Deliberate divergence: the reference stores one CHUNK's length (80)
+    # next to a stitched chunks*80-frame row — a consumer masking
+    # motion[..., :length] would drop all but the first chunk — so we
+    # store the TAKE total instead.
     all_text = all_text[:n_takes]
-    lengths = np.concatenate(all_lengths, axis=0)[:n_takes]
+    lengths = (
+        np.concatenate(all_lengths, axis=0)[:n_takes] * chunks_per_take
+    )
 
     if os.path.exists(out_path):
         shutil.rmtree(out_path)
