@@ -103,6 +103,15 @@ Perf notes (measured on v5e, rounds 2-3; r1 -> r2 gesture
     pre-output latent; exact and parity-tested, but TIES the generic
     stacked-2B wrapper at 0.93 ms/step — the glue is already at its
     bandwidth floor, so the model keeps the simpler generic path).
+  * int8 W8A8 serving (per-output-channel int8 weights + dynamic
+    per-row activation quant inside the fused encoder kernel, int32 MXU
+    accumulate): measured SLOWER than bf16 at production shapes — 114
+    us/layer vs 98 (block 22; smaller blocks worse).  Raw int8 MXU rate
+    did probe ~1.35x bf16 at K>=1024, but at d256 the per-row
+    quantize/dequantize is O(n*d) VPU work against O(n*d^2) MXU
+    work, and it erases the gain; accuracy cost (rel l2 ~1.4e-2) would
+    also need gating.  Dead end at this model width — do not re-try
+    without a d>=512 model.
   * bf16 activations (flax dtype threading) win another ~7% for the
     d256 gesture model; they HURT the d512 t2m model (f32 matmuls
     already run as single bf16 MXU passes on v5e — casts are pure
