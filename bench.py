@@ -131,6 +131,16 @@ Perf notes (measured on v5e, rounds 2-3; r1 -> r2 gesture
     cliff too: batch 256 as 4x64 microbatches runs at 21.2 ms/step =
     12.1k samples/s (+28% over full-batch) — a full 600k-step
     production run in 3.5 h on ONE v5e chip.
+  * encoder remat (--remat, nn.remat over each layer): a MEMORY knob
+    only.  The ~26%-of-step-time copy ops it targeted (saved
+    activations + u32 dropout masks) did NOT shrink — with
+    prevent_cse=False XLA's CSE undoes the remat entirely (bit-identical
+    program, 14.6 ms/step), with prevent_cse=True the checkpoint
+    barriers break fusions and double RNG work (18.7 ms/step, -22%),
+    and a dots-saveable policy added recompute while the copies stayed
+    (they are XLA residual/layout choices, not checkpoint saves).  Kept
+    as a documented off-by-default flag for configs whose activations
+    exceed HBM; gradients exact vs stored-activation path (tested).
   * measured roofline (r2 final, take-level depth ablation — per-layer
     cost is exactly linear: 8L 0.878, 4L 0.504, 2L 0.317 ms/step):
     encoder 8 x 0.0935 ms + fused local block 0.063 + state/sampler

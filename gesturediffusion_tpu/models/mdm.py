@@ -152,6 +152,9 @@ class MDM(nn.Module):
     # inference-only: run each encoder layer as one fused Pallas kernel
     # (param tree unchanged; see models/transformer.py)
     use_fused_encoder: bool = False
+    # training-only: rematerialize encoder layers in the backward pass
+    # (see models/transformer.py TransformerEncoder.remat)
+    remat: bool = False
     dtype: Any = jnp.float32
 
     @property
@@ -284,6 +287,7 @@ class MDM(nn.Module):
             dropout=self.dropout,
             activation=self.activation,
             use_fused_layer=self.use_fused_encoder and not train,
+            remat=self.remat,
             dtype=self.dtype,
             name="seqTransEncoder",
         )(xseq, deterministic=not train)

@@ -49,6 +49,9 @@ class MotionMDM(nn.Module):
     data_rep: str = "hml_vec"
     # inference-only: run each encoder layer as one fused Pallas kernel
     use_fused_encoder: bool = False
+    # training-only: rematerialize encoder layers in the backward pass
+    # (memory knob — see models/transformer.py TransformerEncoder.remat)
+    remat: bool = False
     dtype: Any = jnp.float32
 
     def _mask_cond(self, cond2d, uncond, train, rng=None):
@@ -118,6 +121,7 @@ class MotionMDM(nn.Module):
             dropout=self.dropout,
             activation=self.activation,
             use_fused_layer=self.use_fused_encoder and not train,
+            remat=self.remat,
             dtype=self.dtype,
             name="seqTransEncoder",
         )(xseq, deterministic=not train)

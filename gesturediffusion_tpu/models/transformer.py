@@ -232,6 +232,18 @@ class TransformerEncoder(nn.Module):
     # run each layer as one fused Pallas kernel (inference only; param
     # tree unchanged, so the flag can differ between train and serve)
     use_fused_layer: bool = False
+    # rematerialize each layer in the backward pass (jax.checkpoint).
+    # Training-only effect (no-op when deterministic); gradients are
+    # exactly equal to the stored-activation path (lifted RNGs replay
+    # the same dropout masks — tests/test_models.py remat test).  This
+    # is a MEMORY knob (activation residency drops from all layers to
+    # one), not a speed knob: at the gesture production config on v5e it
+    # measured 18.7 vs 14.6 ms/step (-22%) — the checkpoint barriers
+    # break XLA's fusions and double the RNG work, and the ~1.5 GB/step
+    # of saved-activation copies it was aimed at did NOT go away with a
+    # dots-saveable policy either (see bench.py notes).  Use it to fit
+    # configs whose activations exceed HBM; keep it off otherwise.
+    remat: bool = False
     dtype: Any = None
 
     @nn.compact
@@ -283,8 +295,24 @@ class TransformerEncoder(nn.Module):
                 kw = {"block_b": bb, "t_real": t}
             else:
                 pad_once = False
+        use_remat = (
+            self.remat and not deterministic and not self.use_fused_layer
+        )
+        if use_remat:
+            # function-form lifted remat: `deterministic` stays a Python
+            # constant (a traced bool would break flax Dropout's `if`),
+            # while x/mask are checkpointed inputs and the dropout RNGs
+            # are lifted so the backward replay draws identical masks
+            def run_layer(mod, h, m):
+                return mod(h, mask=m, deterministic=False)
+
+            # prevent_cse=True is required for the memory effect: with
+            # False, XLA's CSE merges the replay back into the forward
+            # and the compiled program is bit-identical to no-remat
+            # (measured — same op counts, same 14.6 ms/step)
+            run_layer = nn.remat(run_layer)
         for i in range(self.num_layers):
-            x = layer_cls(
+            layer = layer_cls(
                 d_model=self.d_model,
                 num_heads=self.num_heads,
                 dim_feedforward=self.dim_feedforward,
@@ -293,7 +321,11 @@ class TransformerEncoder(nn.Module):
                 dtype=self.dtype,
                 name=f"layer_{i}",
                 **kw,
-            )(x, mask=mask, deterministic=deterministic)
+            )
+            if use_remat:
+                x = run_layer(layer, x, mask)
+            else:
+                x = layer(x, mask=mask, deterministic=deterministic)
         if pad_once:
             x = x[:b, :t]
         return x

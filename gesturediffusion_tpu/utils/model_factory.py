@@ -83,6 +83,7 @@ def create_model(args, data=None):
             mfcc_input=mfcc_input,
             use_wav_enc=use_wav_enc,
             use_fused_encoder=getattr(args, "use_fused_encoder", False),
+            remat=getattr(args, "remat", False),
             **kw,
         )
     if dataset in ("humanml", "kit"):
@@ -90,6 +91,7 @@ def create_model(args, data=None):
         return MotionMDM(
             cond_mode=cond_mode,
             use_fused_encoder=getattr(args, "use_fused_encoder", False),
+            remat=getattr(args, "remat", False),
             **kw,
         )
     # action-to-motion / unconstrained
@@ -98,6 +100,7 @@ def create_model(args, data=None):
     return MotionMDM(
         cond_mode=cond_mode, num_actions=num_actions,
         use_fused_encoder=getattr(args, "use_fused_encoder", False),
+        remat=getattr(args, "remat", False),
         **kw,
     )
 

@@ -193,6 +193,12 @@ def add_tpu_options(parser: ArgumentParser):
                        help="Gradient-accumulation microbatch size "
                             "(0 = whole batch; <=128/chip dodges the "
                             "large-batch encoder cliff).")
+    group.add_argument("--remat", action="store_true",
+                       help="Rematerialize encoder layers in the backward "
+                            "pass (jax.checkpoint). Memory knob for configs "
+                            "whose activations exceed HBM; measured -22% "
+                            "step time at the production config, so keep "
+                            "it off unless you need the headroom.")
 
 
 def add_sampling_options(parser: ArgumentParser):

@@ -188,6 +188,37 @@ class TestMDM:
             f(params, x, t, cond), m.apply(params, x, t, cond), atol=1e-5
         )
 
+    def test_remat_gradients_match(self):
+        """remat=True recomputes the encoder layers in the backward pass
+        with lifted (replayed) dropout RNGs — outputs AND gradients must
+        match the stored-activation path exactly (--remat train knob;
+        motivation: the saved activations + u32 dropout-mask bits were
+        26% of the production train step's device time in copies)."""
+        x = jax.random.normal(KEY, (self.BS, self.J, 1, self.T))
+        t = jnp.asarray([3, 7])
+        cond = gesture_cond(self.BS, self.T, self.J, seed_poses=4)
+        rngs = {"dropout": jax.random.PRNGKey(1),
+                "cond_mask": jax.random.PRNGKey(2)}
+
+        grads, outs = {}, {}
+        for remat in (False, True):
+            m = self._model(cond_mask_prob=0.5, dropout=0.1, remat=remat)
+            params = m.init(jax.random.PRNGKey(0), x, t, cond)
+
+            def loss_fn(p, m=m):
+                out = m.apply(p, x, t, cond, train=True, rngs=rngs)
+                return jnp.mean(out**2), out
+
+            (_, outs[remat]), grads[remat] = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(params)
+
+        np.testing.assert_allclose(outs[True], outs[False], atol=1e-6)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(a, b, atol=1e-5),
+            grads[True], grads[False],
+        )
+
 
 class TestMDMOld:
     def test_forward_shape(self):
