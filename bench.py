@@ -141,6 +141,16 @@ Perf notes (measured on v5e, rounds 2-3; r1 -> r2 gesture
     (they are XLA residual/layout choices, not checkpoint saves).  Kept
     as a documented off-by-default flag for configs whose activations
     exceed HBM; gradients exact vs stored-activation path (tested).
+  * XLA AUTO layouts on the donated train state (jax.experimental.layout
+    Format(Layout.AUTO) in/out + device_put to the compiled formats):
+    measured a WASH (14.44 vs 14.60 ms/step device time, copies
+    unchanged at ~3.9 ms) — XLA picks (near-)default layouts for this
+    program anyway.  Tracing the full-batch (no-scan) step shows the
+    same ~600 copy ops per fwd+bwd pass, so they are backward-pass
+    layout/residual copies inherent to the XLA grad program, not scan
+    carries or donation reconciliation.  Third confirmed dead end
+    against the 26% copy share (after remat and dots-saveable
+    policies); not integrated.
   * measured roofline (r2 final, take-level depth ablation — per-layer
     cost is exactly linear: 8L 0.878, 4L 0.504, 2L 0.317 ms/step):
     encoder 8 x 0.0935 ms + fused local block 0.063 + state/sampler
