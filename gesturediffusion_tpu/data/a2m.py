@@ -176,7 +176,10 @@ class A2MDataset:
                     self.rng.sample(range(nframes), num_frames), dtype=int
                 )
             )
-        raise ValueError("Sampling not recognized.")
+        raise ValueError(
+            f"unknown frame-sampling mode {self.sampling!r} "
+            "(expected conseq / random_conseq / random)"
+        )
 
     # -------------------------------------------------------------- #
     def _item_for_data_index(self, data_index: int) -> dict:
