@@ -254,3 +254,32 @@ class TestUtilsVizReviewFixes:
         assert _make_stage_runner(0.02, 150, None) is _make_stage_runner(
             0.02, 150, None
         )
+
+
+class TestRematFlagWiring:
+    """--remat reaches the model through the factory for every family
+    (utils/parser.py add_tpu_options -> utils/model_factory.py)."""
+
+    def test_factory_passes_remat(self):
+        import argparse
+
+        from gesturediffusion_tpu.utils.model_factory import create_model
+
+        base = dict(
+            latent_dim=32, layers=1, cond_mask_prob=0.1, arch="trans_enc",
+            unconstrained=False, remat=True,
+        )
+        gesture = create_model(argparse.Namespace(
+            dataset="genea2023", use_text=False, use_audio=True,
+            mfcc_input=True, use_wav_enc=False, seed_poses=4, **base))
+        t2m = create_model(argparse.Namespace(
+            dataset="humanml", **base))
+        a2m = create_model(argparse.Namespace(
+            dataset="humanact12", num_actions=12, **base))
+        assert gesture.remat and t2m.remat and a2m.remat
+
+    def test_parser_default_off(self):
+        from gesturediffusion_tpu.utils.parser import train_args
+
+        args = train_args(["--save_dir", "/tmp/x", "--dataset", "genea2023"])
+        assert args.remat is False
