@@ -37,11 +37,41 @@ from gesturediffusion_tpu.viz.prior import (
 # with the GMM_PRIOR_PATH env var
 DEFAULT_GMM_PRIOR_PATH = "body_models/joints2smpl/gmm_08.pkl"
 
+# neutral mean-pose asset the reference initializes its fits from
+# (simplify_loc2rot.py:28-33, fit_seq.py:52-55); override with
+# SMPL_MEAN_PATH
+DEFAULT_SMPL_MEAN_PATH = (
+    "body_models/joints2smpl/neutral_smpl_mean_params.h5"
+)
+
+
+def load_smpl_mean_pose(path: Optional[str] = None) -> Optional[np.ndarray]:
+    """SMPL mean pose from neutral_smpl_mean_params.h5 as [24, 3]
+    axis-angle, or None when the asset is absent (the fit then starts
+    from the zero pose — a benign init; the asset is the reference's)."""
+    path = path or os.environ.get("SMPL_MEAN_PATH", DEFAULT_SMPL_MEAN_PATH)
+    if not os.path.isfile(path):
+        return None
+    import h5py
+
+    with h5py.File(path, "r") as f:
+        pose = np.asarray(f["pose"][:], np.float32).reshape(-1)
+    if pose.shape != (72,):
+        raise ValueError(
+            f"mean-params 'pose' has {pose.shape[0]} values, expected 72"
+        )
+    return pose.reshape(24, 3)
+
 # reference: customloss.py:132-134
 POSE_PRIOR_WEIGHT = 4.78 * 1.5
 ANGLE_PRIOR_WEIGHT = 15.2
 JOINT_LOSS_WEIGHT = 500.0
 GMOF_SIGMA = 100.0
+
+# ankles (7, 8) and feet (10, 11) in the SMPL joint order; upweighted to
+# 1.5 by the reference's fix_foot option (simplify_loc2rot.py:90-96)
+FIX_FOOT_JOINTS = (7, 8, 10, 11)
+FIX_FOOT_CONFIDENCE = 1.5
 
 
 def gmof(x: jnp.ndarray, sigma: float) -> jnp.ndarray:
@@ -69,7 +99,7 @@ def _make_stage_runner(lr: float, num_iters: int, pose_prior):
     tx = optax.adam(lr)
 
     @functools.partial(jax.jit, static_argnames=("fit_pose",))
-    def run_stage(smpl, target, subset, params, *, fit_pose: bool):
+    def run_stage(smpl, target, subset, conf, params, *, fit_pose: bool):
         def keypoint_err(params):
             pose, transl = params
             pred = _fk_joints(smpl, pose, transl)
@@ -84,9 +114,12 @@ def _make_stage_runner(lr: float, num_iters: int, pose_prior):
                 # stage 1 (camera/global): plain squared 3D keypoint error
                 # (reference: smplify.py:168, customloss.py:191-222)
                 return jnp.mean(jnp.sum(err**2, -1))
-            # stage 2 (body): reference body_fitting_loss_3d form
+            # stage 2 (body): reference body_fitting_loss_3d form; the
+            # per-joint confidence enters squared against the summed-xyz
+            # gmof error (customloss.py:147-151)
             joint_loss = (JOINT_LOSS_WEIGHT**2) * jnp.sum(
-                gmof(err, GMOF_SIGMA), axis=(-1, -2)
+                (conf**2)[None, :] * jnp.sum(gmof(err, GMOF_SIGMA), -1),
+                -1,
             )
             body = pose[:, 1:].reshape(pose.shape[0], -1)
             ang = (ANGLE_PRIOR_WEIGHT**2) * jnp.sum(angle_prior(body), -1)
@@ -126,6 +159,8 @@ def joints2smpl(
     init_pose: Optional[np.ndarray] = None,
     joint_subset: Optional[np.ndarray] = None,
     pose_prior: Optional[MaxMixturePrior] = None,
+    joint_confidence: Optional[np.ndarray] = None,
+    fix_foot: bool = False,
 ) -> dict:
     """Fit per-frame SMPL axis-angle poses + root translation to joints.
 
@@ -135,6 +170,11 @@ def joints2smpl(
     is loaded automatically from $GMM_PRIOR_PATH (default
     body_models/joints2smpl/gmm_08.pkl); only if that asset is absent
     does an L2 body-pose prior substitute (logged loudly).
+
+    `joint_confidence` weights each FITTED joint's error in stage 2
+    (reference conf_3d, customloss.py:147-151), indexed like
+    `joint_subset`; `fix_foot=True` is the reference's shorthand that
+    upweights ankles+feet to 1.5 (simplify_loc2rot.py:90-96).
 
     Returns {'thetas': [T, 24, 3] axis-angle, 'root_translation': [T, 3],
     'loss': keypoint mean-squared error after each stage}.
@@ -162,24 +202,136 @@ def joints2smpl(
         if joint_subset is not None
         else jnp.arange(min(n_fit, 22))
     )
+    if joint_confidence is not None:
+        conf = jnp.asarray(joint_confidence, jnp.float32)
+        if conf.shape != subset.shape:
+            raise ValueError(
+                f"joint_confidence has shape {conf.shape}, expected "
+                f"{subset.shape} (one weight per fitted joint)"
+            )
+    else:
+        conf = np.ones(subset.shape, np.float32)
+        if fix_foot:
+            for j in FIX_FOOT_JOINTS:
+                conf[np.asarray(subset) == j] = FIX_FOOT_CONFIDENCE
+        conf = jnp.asarray(conf)
 
-    pose0 = (
-        jnp.asarray(init_pose, jnp.float32)
-        if init_pose is not None
-        else jnp.zeros((t, 24, 3), jnp.float32)
-    )
+    if init_pose is not None:
+        pose0 = jnp.asarray(init_pose, jnp.float32)
+    else:
+        # start from the reference's neutral mean pose when the asset is
+        # present (simplify_loc2rot.py:28-33); zero pose otherwise
+        mean = load_smpl_mean_pose()
+        pose0 = (
+            jnp.broadcast_to(jnp.asarray(mean), (t, 24, 3))
+            if mean is not None
+            else jnp.zeros((t, 24, 3), jnp.float32)
+        )
     transl0 = target[:, 0] - _fk_joints(smpl, pose0, jnp.zeros((t, 3)))[:, 0]
 
     run_stage = _make_stage_runner(lr, num_smplify_iters, pose_prior)
 
     # stage 1: camera/global (reference: smplify.py:168)
-    params, loss1 = run_stage(smpl, target, subset, (pose0, transl0),
+    params, loss1 = run_stage(smpl, target, subset, conf, (pose0, transl0),
                               fit_pose=False)
     # stage 2: full body (reference: smplify.py:218)
-    params, loss2 = run_stage(smpl, target, subset, params, fit_pose=True)
+    params, loss2 = run_stage(smpl, target, subset, conf, params,
+                              fit_pose=True)
     pose, transl = params
     return {
         "thetas": np.asarray(pose),
         "root_translation": np.asarray(transl),
         "loss": (float(loss1), float(loss2)),
     }
+
+
+def motion_to_rot(smpl: SMPLModel, motion: np.ndarray, **fit_kw) -> np.ndarray:
+    """One xyz stick-figure sample [J>=22, 3, T] -> [25, 6, T] SMPL rot6d.
+
+    The output layout is the reference's Blender-import convention
+    (simplify_loc2rot.py:106-111): rows 0-23 are per-joint rotation-6d,
+    row 24 packs the root xyz location in its first three channels.
+    """
+    fit = joints2smpl(smpl, motion.transpose(2, 0, 1), **fit_kw)
+    mats = R.axis_angle_to_matrix(jnp.asarray(fit["thetas"]))
+    rot6d = np.asarray(R.matrix_to_rotation_6d(mats))  # [T, 24, 6]
+    root = motion.transpose(2, 0, 1)[:, 0]  # [T, 3]
+    root_row = np.concatenate([root, np.zeros_like(root)], -1)[:, None]
+    return np.concatenate([rot6d, root_row], 1).transpose(1, 2, 0)
+
+
+def npy2smpl(
+    npy_path: str,
+    smpl: SMPLModel,
+    num_smplify_iters: int = 150,
+    fix_foot: bool = False,
+    out_path: Optional[str] = None,
+) -> str:
+    """Convert a generated results.npy (xyz joints) to SMPL rotations.
+
+    Mirrors the reference batch CLI (simplify_loc2rot.py:45-59): every
+    sample's [J, 3, T] motion is SMPLify-fitted and replaced by the
+    [25, 6, T] rot6d layout; all other keys (text, lengths, ...) pass
+    through unchanged.  Writes `<input>_rot.npy` and returns its path.
+    """
+    data = np.load(npy_path, allow_pickle=True).item()
+    motions = data["motion"]
+    if motions.ndim != 4 or motions.shape[2] != 3:
+        raise ValueError(
+            f"expected xyz motions [N, J, 3, T], got {motions.shape} — "
+            "npy2smpl consumes stick-figure results.npy files"
+        )
+    data["motion"] = np.stack(
+        [
+            motion_to_rot(smpl, m, num_smplify_iters=num_smplify_iters,
+                          fix_foot=fix_foot)
+            for m in motions
+        ],
+        0,
+    )
+    if out_path is None:
+        out_path = npy_path[: -len(".npy")] + "_rot.npy"
+    np.save(out_path, data)
+    return out_path
+
+
+def main(argv=None):
+    """CLI mirroring visualize/simplify_loc2rot.py __main__ (:116-132)."""
+    import argparse
+
+    from gesturediffusion_tpu.models.smpl import (
+        load_smpl_pickle,
+        make_synthetic_smpl,
+    )
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--input_path", required=True,
+                        help="results.npy file, or a directory of them")
+    parser.add_argument("--num_smplify_iters", type=int, default=150)
+    parser.add_argument("--fix_foot", action="store_true",
+                        help="upweight ankle/foot joints to 1.5 in the fit")
+    parser.add_argument("--smpl_model", default=os.environ.get(
+        "SMPL_MODEL_PATH", "body_models/smpl/SMPL_NEUTRAL.pkl"))
+    args = parser.parse_args(argv)
+
+    smpl = (
+        load_smpl_pickle(args.smpl_model)
+        if os.path.isfile(args.smpl_model)
+        else make_synthetic_smpl()
+    )
+    if os.path.isfile(args.input_path):
+        paths = [args.input_path]
+    else:
+        paths = sorted(
+            os.path.join(args.input_path, f)
+            for f in os.listdir(args.input_path)
+            if f.endswith(".npy") and not f.endswith("_rot.npy")
+        )
+    for path in paths:
+        out = npy2smpl(path, smpl, num_smplify_iters=args.num_smplify_iters,
+                       fix_foot=args.fix_foot)
+        print(f"saved [{out}]")
+
+
+if __name__ == "__main__":
+    main()

@@ -112,6 +112,20 @@ def check_gmm(path: str):
             f"components={k} dim={d} prior(0)={_fingerprint(val):.4f}")
 
 
+def check_smpl_mean(path: str):
+    import h5py
+
+    from gesturediffusion_tpu.viz.joints2smpl import load_smpl_mean_pose
+
+    pose = load_smpl_mean_pose(path)
+    assert pose is not None and pose.shape == (24, 3)
+    assert np.all(np.isfinite(pose)), "non-finite mean pose"
+    with h5py.File(path, "r") as f:
+        synthetic = bool(f.attrs.get("synthetic", False))
+    return (SYNTHETIC if synthetic else OK,
+            f"pose_norm={float(np.linalg.norm(pose)):.4f}")
+
+
 def check_glove(path: str):
     from gesturediffusion_tpu.data.humanml import WordVectorizer
 
@@ -292,6 +306,9 @@ ASSETS: list[tuple[str, Optional[str], str, bool, Callable]] = [
      "body_models/smpl/SMPL_NEUTRAL.pkl", False, check_smpl),
     ("SMPLify GMM prior", None,
      "body_models/joints2smpl/gmm_08.pkl", False, check_gmm),
+    ("SMPLify mean params", "SMPL_MEAN_PATH",
+     "body_models/joints2smpl/neutral_smpl_mean_params.h5", False,
+     check_smpl_mean),
     ("GloVe vectors", None, "glove", True, check_glove),
     ("T2M evaluator (finest.tar)", "T2M_EVALUATOR_PATH",
      "t2m/text_mot_match/model/finest.tar", False, check_t2m_evaluator),
@@ -505,6 +522,15 @@ def make_synthetic_assets(root: str) -> str:
         pickle.dump(gmm, f)
 
     rs = np.random.RandomState(0)
+
+    import h5py
+
+    with h5py.File(
+        at("body_models/joints2smpl/neutral_smpl_mean_params.h5"), "w"
+    ) as f:
+        f["pose"] = (rs.randn(72) * 0.05).astype(np.float32)
+        f["shape"] = np.zeros(10, np.float32)
+        f.attrs["synthetic"] = True
     words = [f"word{i}" for i in range(64)] + ["a", "person", "walks"]
     os.makedirs(os.path.join(root, "glove"), exist_ok=True)
     with open(at("glove/our_vab_words.pkl"), "wb") as f:

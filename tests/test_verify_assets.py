@@ -19,7 +19,7 @@ def report(tmp_path_factory):
     env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO)
     # asset env overrides from the outer environment would shadow the
     # synthetic tree
-    for var in ("SMPL_MODEL_PATH", "T2M_EVALUATOR_PATH",
+    for var in ("SMPL_MODEL_PATH", "SMPL_MEAN_PATH", "T2M_EVALUATOR_PATH",
                 "A2M_CLASSIFIER_PATH", "UESTC_STGCN_PATH",
                 "MODI_STGCN_PATH", "CLIP_CHECKPOINT", "CLIP_BPE_PATH",
                 "UNCONSTRAINED_DATASET_PATH"):
@@ -47,7 +47,8 @@ class TestSyntheticRun:
         # every converter-backed stand-in must be flagged, not OK'd
         for name in ("SMPL neutral model", "T2M evaluator (finest.tar)",
                      "A2M GRU classifier", "UESTC ST-GCN", "MoDi ST-GCN",
-                     "CLIP ViT-B/32", "SMPLify GMM prior"):
+                     "CLIP ViT-B/32", "SMPLify GMM prior",
+                     "SMPLify mean params"):
             row = next(ln for ln in md.splitlines() if name in ln)
             assert "SYNTHETIC" in row, row
 

@@ -10,7 +10,13 @@ import pytest
 
 from gesturediffusion_tpu.models.smpl import make_synthetic_smpl
 from gesturediffusion_tpu.ops import rotations as R
-from gesturediffusion_tpu.viz.joints2smpl import _fk_joints, joints2smpl
+from gesturediffusion_tpu.viz.joints2smpl import (
+    FIX_FOOT_JOINTS,
+    _fk_joints,
+    joints2smpl,
+)
+from gesturediffusion_tpu.viz.joints2smpl import main as npy2smpl_main
+from gesturediffusion_tpu.viz.joints2smpl import motion_to_rot, npy2smpl
 from gesturediffusion_tpu.viz.motions2hik import HIK_JOINT_MAP, motions2hik
 from gesturediffusion_tpu.viz.vis_utils import Npy2Obj, write_obj
 
@@ -40,6 +46,62 @@ class TestJoints2SMPL:
         final_err = float(np.mean(np.sum((fitted - target) ** 2, -1)))
         assert final_err < 0.1 * init_err
         assert fit["loss"][1] < fit["loss"][0]  # stage 2 improves on stage 1
+
+    def test_fix_foot_upweights_foot_error(self, smpl):
+        # with fix_foot the ankle/foot joints must end closer to target
+        # than the default fit leaves them (reference conf_3d semantics)
+        t = 3
+        rs = np.random.RandomState(3)
+        true_pose = jnp.asarray(rs.randn(t, 24, 3) * 0.3, jnp.float32)
+        target = np.asarray(_fk_joints(smpl, true_pose, jnp.zeros((t, 3))))
+
+        feet = np.asarray(FIX_FOOT_JOINTS)
+
+        def foot_err(fit):
+            fitted = np.asarray(_fk_joints(
+                smpl, jnp.asarray(fit["thetas"]),
+                jnp.asarray(fit["root_translation"]),
+            ))
+            return float(np.mean(np.sum(
+                (fitted[:, feet] - target[:, feet]) ** 2, -1
+            )))
+
+        base = joints2smpl(smpl, target, num_smplify_iters=60, lr=0.05)
+        fixed = joints2smpl(smpl, target, num_smplify_iters=60, lr=0.05,
+                            fix_foot=True)
+        assert foot_err(fixed) <= foot_err(base) * 1.001
+
+    def test_joint_confidence_validated(self, smpl):
+        target = np.zeros((2, 24, 3), np.float32)
+        with pytest.raises(ValueError, match="joint_confidence"):
+            joints2smpl(smpl, target, num_smplify_iters=1,
+                        joint_confidence=np.ones(5, np.float32))
+
+    def test_mean_pose_init(self, smpl, tmp_path, monkeypatch):
+        # when neutral_smpl_mean_params.h5 is present the fit starts
+        # from its mean pose (reference simplify_loc2rot.py:28-33)
+        import h5py
+
+        from gesturediffusion_tpu.viz.joints2smpl import load_smpl_mean_pose
+
+        path = str(tmp_path / "neutral_smpl_mean_params.h5")
+        mean = np.random.RandomState(6).randn(72).astype(np.float32) * 0.1
+        with h5py.File(path, "w") as f:
+            f["pose"] = mean
+            f["shape"] = np.zeros(10, np.float32)
+        monkeypatch.setenv("SMPL_MEAN_PATH", path)
+        assert load_smpl_mean_pose().shape == (24, 3)
+
+        # 0-iteration fit: thetas must BE the tiled mean pose
+        target = np.zeros((3, 24, 3), np.float32)
+        fit = joints2smpl(smpl, target, num_smplify_iters=0)
+        np.testing.assert_allclose(
+            fit["thetas"], np.broadcast_to(mean.reshape(24, 3), (3, 24, 3)),
+            rtol=1e-6,
+        )
+
+        monkeypatch.setenv("SMPL_MEAN_PATH", str(tmp_path / "absent.h5"))
+        assert load_smpl_mean_pose() is None
 
 
 class TestVisUtils:
@@ -72,6 +134,78 @@ class TestVisUtils:
             str(tmp_path / "smpl_params.npy"), allow_pickle=True
         ).item()
         assert params["thetas"].shape == (t, 24, 3)
+
+
+class TestNpy2SMPL:
+    def _save_results(self, smpl, tmp_path, n_samples=2, t=3):
+        rs = np.random.RandomState(4)
+        motions = []
+        for _ in range(n_samples):
+            pose = jnp.asarray(rs.randn(t, 24, 3) * 0.1, jnp.float32)
+            joints = np.asarray(_fk_joints(smpl, pose, jnp.zeros((t, 3))))
+            motions.append(joints.transpose(1, 2, 0))  # [24, 3, T]
+        npy_path = str(tmp_path / "results.npy")
+        np.save(npy_path, {
+            "motion": np.stack(motions), "text": ["a", "b"],
+            "lengths": np.full(n_samples, t), "num_samples": n_samples,
+        })
+        return npy_path
+
+    def test_motion_to_rot_layout(self, smpl):
+        # row 24 carries the root xyz; rows 0-23 are valid rotation-6d
+        t = 3
+        rs = np.random.RandomState(5)
+        pose = jnp.asarray(rs.randn(t, 24, 3) * 0.1, jnp.float32)
+        joints = np.asarray(_fk_joints(smpl, pose, jnp.zeros((t, 3))))
+        out = motion_to_rot(smpl, joints.transpose(1, 2, 0),
+                            num_smplify_iters=20)
+        assert out.shape == (25, 6, t)
+        np.testing.assert_allclose(
+            out[24, :3], joints[:, 0].T, rtol=1e-5, atol=1e-6
+        )
+        np.testing.assert_allclose(out[24, 3:], 0.0)
+        # the rot6d rows decode to orthonormal rotation matrices
+        mats = np.asarray(
+            R.rotation_6d_to_matrix(jnp.asarray(out[:24].transpose(2, 0, 1)))
+        )
+        eye = np.broadcast_to(np.eye(3), mats.shape)
+        np.testing.assert_allclose(
+            mats @ mats.transpose(0, 1, 3, 2), eye, atol=1e-5
+        )
+
+    def test_npy2smpl_roundtrip(self, smpl, tmp_path):
+        npy_path = self._save_results(smpl, tmp_path)
+        out_path = npy2smpl(npy_path, smpl, num_smplify_iters=10)
+        assert out_path.endswith("_rot.npy")
+        data = np.load(out_path, allow_pickle=True).item()
+        assert data["motion"].shape == (2, 25, 6, 3)
+        # non-motion keys pass through unchanged
+        assert data["text"] == ["a", "b"]
+        assert data["num_samples"] == 2
+
+    def test_npy2smpl_rejects_rot_input(self, smpl, tmp_path):
+        npy_path = str(tmp_path / "results.npy")
+        np.save(npy_path, {"motion": np.zeros((1, 25, 6, 4), np.float32)})
+        with pytest.raises(ValueError, match="xyz motions"):
+            npy2smpl(npy_path, smpl)
+
+    def test_cli_directory_mode(self, smpl, tmp_path, monkeypatch):
+        self._save_results(smpl, tmp_path)
+        # the CLI falls back to a synthetic SMPL when the pkl is absent;
+        # pin its vertex count to the fixture's for determinism
+        monkeypatch.setenv("SMPL_MODEL_PATH", str(tmp_path / "missing.pkl"))
+        npy2smpl_main([
+            "--input_path", str(tmp_path), "--num_smplify_iters", "5",
+            "--fix_foot",
+        ])
+        out = np.load(str(tmp_path / "results_rot.npy"),
+                      allow_pickle=True).item()
+        assert out["motion"].shape[1:3] == (25, 6)
+        # _rot outputs must not be re-consumed on a second pass
+        npy2smpl_main([
+            "--input_path", str(tmp_path), "--num_smplify_iters", "5",
+        ])
+        assert not os.path.exists(str(tmp_path / "results_rot_rot.npy"))
 
 
 class TestMotions2HIK:
