@@ -256,15 +256,15 @@ class Text2MotionDatasetV2:
             out["sent_len"] = sent_len
             out["tokens"] = "_".join(tokens)
 
-        # unit-length crop with small random variation
-        if self.unit_length < 10:
-            coin2 = self.rng.choice(["single", "single", "double"])
-        else:
-            coin2 = "single"
-        if coin2 == "double":
-            m_length = (m_length // self.unit_length - 1) * self.unit_length
-        else:
-            m_length = (m_length // self.unit_length) * self.unit_length
+        # Crop the motion to a multiple of unit_length.  The eval
+        # protocol (spec: reference dataset.py:324-334) rounds m_length
+        # DOWN one extra unit with probability 1/3 when unit_length < 10
+        # — a data-augmentation quirk that shapes the evaluator's input
+        # distribution, so the probabilities must match exactly.
+        n_units = m_length // self.unit_length
+        if self.unit_length < 10 and self.rng.random() < 1.0 / 3.0:
+            n_units -= 1
+        m_length = n_units * self.unit_length
         start = self.rng.randint(0, len(motion) - m_length)
         motion = motion[start : start + m_length]
 

@@ -52,7 +52,17 @@ def load_smpl_mean_pose(path: Optional[str] = None) -> Optional[np.ndarray]:
     path = path or os.environ.get("SMPL_MEAN_PATH", DEFAULT_SMPL_MEAN_PATH)
     if not os.path.isfile(path):
         return None
-    import h5py
+    try:
+        import h5py
+    except ImportError:
+        from gesturediffusion_tpu.utils import logger as log_lib
+
+        log_lib.log(
+            f"WARNING: {path} exists but h5py is not installed — "
+            "falling back to the zero-pose init (pip install h5py, or "
+            "the 'viz' extra, to use the reference mean-pose init)."
+        )
+        return None
 
     with h5py.File(path, "r") as f:
         pose = np.asarray(f["pose"][:], np.float32).reshape(-1)
@@ -62,10 +72,11 @@ def load_smpl_mean_pose(path: Optional[str] = None) -> Optional[np.ndarray]:
         )
     return pose.reshape(24, 3)
 
-# reference: customloss.py:132-134
+# reference: customloss.py:132-134; the body-stage calls override the
+# customloss default 500.0 with 600.0 (smplify.py:229,251,270)
 POSE_PRIOR_WEIGHT = 4.78 * 1.5
 ANGLE_PRIOR_WEIGHT = 15.2
-JOINT_LOSS_WEIGHT = 500.0
+JOINT_LOSS_WEIGHT = 600.0
 GMOF_SIGMA = 100.0
 
 # ankles (7, 8) and feet (10, 11) in the SMPL joint order; upweighted to
@@ -203,6 +214,13 @@ def joints2smpl(
         else jnp.arange(min(n_fit, 22))
     )
     if joint_confidence is not None:
+        if fix_foot:
+            raise ValueError(
+                "joint_confidence and fix_foot are mutually exclusive — "
+                "fix_foot is shorthand for a confidence vector with "
+                "ankles/feet at 1.5; fold the upweight into "
+                "joint_confidence instead"
+            )
         conf = jnp.asarray(joint_confidence, jnp.float32)
         if conf.shape != subset.shape:
             raise ValueError(
@@ -274,6 +292,11 @@ def npy2smpl(
     [25, 6, T] rot6d layout; all other keys (text, lengths, ...) pass
     through unchanged.  Writes `<input>_rot.npy` and returns its path.
     """
+    if not npy_path.endswith(".npy"):
+        raise ValueError(
+            f"npy2smpl expects a .npy results file, got {npy_path!r} "
+            "(reference gate: simplify_loc2rot.py:126)"
+        )
     data = np.load(npy_path, allow_pickle=True).item()
     motions = data["motion"]
     if motions.ndim != 4 or motions.shape[2] != 3:
