@@ -181,8 +181,25 @@ Serving-path notes (round 3, measured on the chip, serve/streaming.py):
     limit is ~5x lower than uniform-spaced DDIM-8
     (tests/test_diffusion.py) — the low-step serving pick.
 
-GDT_BENCH_CONFIG=humanml reports the round-1 secondary metric
-(HumanML3D samples/sec/chip, batch 32, guidance 2.5).
+The default invocation emits THREE JSON metric lines — humanml
+samples/sec, the production train-step ms/step, then the gesture
+headline LAST (so single-line parsers keep picking up the headline).
+GDT_BENCH_CONFIG=humanml|gesture|train selects one.
+
+MFU (round 4): every metric line carries tflops_per_sec +
+mfu_vs_v5e_bf16_peak from analytic matmul FLOPs (see gesture_eval_flops/
+t2m_eval_flops; conventions documented there).  Why the ~20% train MFU
+is a floor, not a fusion miss: PROFILE.md's trace bills ~26% of the
+step to backward-pass residual/layout copy ops, and all three measured
+attacks on them were dead ends (remat is undone by CSE or breaks
+fusions, dots-saveable recomputes while the copies stay, AUTO layouts
+are a wash — see the notes above).  The remaining levers are
+structural: a custom-VJP fused encoder (fwd kernels exist, backward
+does not) would remove the saved-activation round-trips the copies
+forward, and f32 master-weight traffic (~39 MB/step) is a precision
+choice, not a scheduling one.  Sampling MFU (~60%) is the honest
+ceiling comparison: it shows the forward path is MXU-bound while
+training is copy/bandwidth-bound.
 """
 
 import json
@@ -204,6 +221,51 @@ _GESTURE_FWD_COST = 81 * (4 * 256**2 + 2 * 256 * 1024)
 REFERENCE_GESTURE_CHUNKS_PER_SEC = (
     REFERENCE_SAMPLES_PER_SEC * (41 / 32) * (_T2M_FWD_COST / _GESTURE_FWD_COST)
 )  # ~10.0 take-chunks/sec
+
+# ----------------------------------------------------------------------- #
+# MFU accounting.  Analytic matmul FLOPs per model evaluation, counted at
+# the ARCHITECTURE sizes (81/197 unpadded tokens, attention as the dense
+# [T,T] formulation the kernels actually execute at these lengths;
+# elementwise ops and the per-chunk-hoisted conditioning encoders are
+# excluded — both are <1% of the matmul FLOPs).  MFU divides by the v5e
+# bf16 peak (197 TFLOP/s); override with GDT_BENCH_PEAK_TFLOPS on other
+# chips.
+# ----------------------------------------------------------------------- #
+V5E_BF16_PEAK = float(os.environ.get("GDT_BENCH_PEAK_TFLOPS", "197")) * 1e12
+
+
+def _encoder_flops(layers: int, tokens: int, d: int, ff: int) -> int:
+    """Per-batch-element transformer-encoder matmul FLOPs: qkv+out
+    projections (8·L·d²), the MLP (4·L·d·ff), and dense attention
+    (2·L²·d scores + 2·L²·d values)."""
+    per_layer = tokens * (8 * d * d + 4 * d * ff) + 4 * tokens * tokens * d
+    return layers * per_layer
+
+
+def gesture_eval_flops() -> int:
+    """One MDM-V2 gesture forward, per batch element (d256, 8 layers,
+    80-frame window + 1 cond token, 498-dim pose)."""
+    d, ff, L, T, J = 256, 1024, 81, 80, 498
+    enc = _encoder_flops(8, L, d, ff)
+    # pre-encoder local block: qkv+out (8·T·d²) + dense band attention
+    local = 8 * T * d * d + 4 * T * T * d
+    io = 2 * (2 * T * J * d)  # pose in/out projections
+    return enc + local + io
+
+
+def t2m_eval_flops() -> int:
+    """One MotionMDM t2m forward, per batch element (d512, 8 layers,
+    196 frames + 1 text token, 263-dim pose)."""
+    d, ff, L, T, J = 512, 1024, 197, 196, 263
+    return _encoder_flops(8, L, d, ff) + 2 * (2 * T * J * d)
+
+
+def _mfu_fields(total_flops: float, elapsed: float) -> dict:
+    tps = total_flops / elapsed
+    return {
+        "tflops_per_sec": round(tps / 1e12, 1),
+        "mfu_vs_v5e_bf16_peak": round(tps / V5E_BF16_PEAK, 3),
+    }
 
 
 def bench_gesture():
@@ -293,6 +355,8 @@ def bench_gesture():
     # dividing by device_count() would under-report by N on a multi-chip
     # host without making the other chips do any work
     per_chip = B * C * n_takes_timed / elapsed
+    # FLOPs: each chunk = 1000 denoise steps x 2 CFG model evals
+    flops = B * C * n_takes_timed * 1000 * 2 * gesture_eval_flops()
     print(json.dumps({
         "metric": (
             f"genea_take14_ddpm1000_cfg_{n_sets}x41takes_"
@@ -303,6 +367,7 @@ def bench_gesture():
         "vs_baseline": round(
             per_chip / REFERENCE_GESTURE_CHUNKS_PER_SEC, 3
         ),
+        **_mfu_fields(flops, elapsed),
     }))
 
 
@@ -361,11 +426,93 @@ def bench_humanml():
     elapsed = time.perf_counter() - t_start
 
     per_chip = B * n_iters / elapsed  # unsharded: one chip does the work
+    flops = B * n_iters * 1000 * 2 * t2m_eval_flops()
     print(json.dumps({
         "metric": "humanml3d_ddpm1000_cfg_samples_per_sec_per_chip",
         "value": round(per_chip, 4),
         "unit": "samples/sec/chip",
         "vs_baseline": round(per_chip / REFERENCE_SAMPLES_PER_SEC, 3),
+        **_mfu_fields(flops, elapsed),
+    }))
+
+
+def bench_train():
+    """Training-step throughput + MFU at the production gesture config
+    (batch 256 as 4x64 microbatches, bf16 activations, rbg PRNG — the
+    12.1k samples/s config from the round-2 grad-accum measurement).
+
+    fwd+bwd+update is counted as 3x the forward matmul FLOPs (the
+    standard MFU convention; the optimizer's elementwise work is <1%).
+    vs_baseline is null: the reference publishes no training throughput
+    (BASELINE.md — only the 600k-step default length)."""
+    from gesturediffusion_tpu.diffusion import ModelMeanType, create_diffusion
+    from gesturediffusion_tpu.diffusion.resample import (
+        create_named_schedule_sampler,
+    )
+    from gesturediffusion_tpu.models.mdm import MDM
+    from gesturediffusion_tpu.train.loop import (
+        TrainConfig,
+        TrainState,
+        make_optimizer,
+        make_train_step,
+    )
+    from gesturediffusion_tpu.utils.cache import enable_compilation_cache
+    from gesturediffusion_tpu.utils.fixseed import set_prng_impl
+
+    set_prng_impl(os.environ.get("GDT_BENCH_PRNG", "rbg"))
+    enable_compilation_cache()
+
+    B, J, T, S = 256, 498, 80, 10
+    mb = int(os.environ.get("GDT_BENCH_TRAIN_MB", "64"))
+    rs = np.random.RandomState(0)
+    motion = jnp.asarray(rs.randn(B, J, 1, T), jnp.float32)
+    cond = {
+        "mfcc": jnp.asarray(rs.randn(B, 26, 1, T), jnp.float32),
+        "seed": jnp.asarray(rs.randn(B, J, 1, S), jnp.float32),
+        "mask": jnp.ones((B, 1, 1, T), jnp.bool_),
+    }
+    diffusion = create_diffusion(
+        steps=1000, model_mean_type=ModelMeanType.START_X
+    )
+    model = MDM(njoints=J, latent_dim=256, num_layers=8, ff_size=1024,
+                seed_poses=S, cond_mask_prob=0.1, dtype=jnp.bfloat16)
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0), motion, jnp.zeros((B,), jnp.int32),
+        {k: v for k, v in cond.items() if k != "mask"},
+    )
+
+    def apply_fn(p, x, t, c, rngs=None):
+        return model.apply(p, x, t, c, train=True, rngs=rngs)
+
+    config = TrainConfig(use_bf16=True, microbatch_size=mb, batch_size=B)
+    tx = make_optimizer(config)
+    state = TrainState(
+        step=jnp.asarray(0, jnp.int32), params=params,
+        opt_state=tx.init(params), ema_params={},
+        sampler=create_named_schedule_sampler("uniform", 1000),
+    )
+    step_fn = make_train_step(diffusion, apply_fn, tx, config)
+    rng = jax.random.PRNGKey(1)
+    state, metrics = step_fn(state, motion, cond, rng)  # compile + warm
+    float(metrics["loss"])
+
+    n_steps = int(os.environ.get("GDT_BENCH_TRAIN_ITERS", "100"))
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        state, metrics = step_fn(state, motion, cond, rng)
+    loss = float(metrics["loss"])  # forced readback before the clock
+    elapsed = time.perf_counter() - t0
+    assert np.isfinite(loss)
+
+    ms_per_step = elapsed / n_steps * 1e3
+    flops = 3 * B * n_steps * gesture_eval_flops()
+    print(json.dumps({
+        "metric": f"gesture_train_step_batch{B}_mb{mb}_bf16",
+        "value": round(ms_per_step, 2),
+        "unit": "ms/step",
+        "samples_per_sec": round(B * n_steps / elapsed, 1),
+        "vs_baseline": None,
+        **_mfu_fields(flops, elapsed),
     }))
 
 
@@ -385,8 +532,18 @@ def main():
             print(f"kernel parity: SKIPPED (backend "
                   f"{jax.default_backend()!r}, not tpu — interpret-mode "
                   f"parity is covered by the pytest suite)")
-    if os.environ.get("GDT_BENCH_CONFIG", "gesture") == "humanml":
+    cfg = os.environ.get("GDT_BENCH_CONFIG", "all")
+    if cfg == "humanml":
         return bench_humanml()
+    if cfg == "gesture":
+        return bench_gesture()
+    if cfg == "train":
+        return bench_train()
+    # default: all three capability metrics in one run (driver captures
+    # every JSON line; the gesture headline prints LAST so single-line
+    # parsers still pick it up)
+    bench_humanml()
+    bench_train()
     return bench_gesture()
 
 

@@ -126,12 +126,28 @@ def make_train_step(
         "model_state" in inspect.signature(apply_fn).parameters
     )
 
-    def step_fn(state: TrainState, motion: jax.Array, cond: dict, rng: jax.Array):
+    def step_fn(
+        state: TrainState,
+        motion: jax.Array,
+        cond: dict,
+        rng: jax.Array,
+        t: Optional[jax.Array] = None,
+        noise: Optional[jax.Array] = None,
+    ):
+        """One update.  `t`/`noise` default to the sampler/PRNG draws;
+        passing them explicitly gives deterministic replay (trajectory
+        goldens vs the reference trainer, bug repros)."""
         rng = jax.random.fold_in(rng, state.step)
         rng_t, rng_noise, rng_drop, rng_mask = jax.random.split(rng, 4)
         b = motion.shape[0]
-        t, weights = state.sampler.sample(rng_t, b)
-        noise = jax.random.normal(rng_noise, motion.shape, motion.dtype)
+        if t is None:
+            t, weights = state.sampler.sample(rng_t, b)
+        else:
+            # injected timesteps: uniform importance weights, like the
+            # reference's UniformSampler (resample.py weights == 1)
+            weights = jnp.ones((b,), jnp.float32)
+        if noise is None:
+            noise = jax.random.normal(rng_noise, motion.shape, motion.dtype)
 
         def model_fn_for(params, ms_in, ms_out, drop_rng, mask_rng):
             def model_fn(x, tt, cc):
@@ -276,13 +292,22 @@ def make_train_step(
 
 
 def make_optimizer(config: TrainConfig) -> optax.GradientTransformation:
-    """AdamW with the reference's linear LR anneal."""
+    """AdamW with the reference's linear LR anneal.
+
+    The reference anneals AFTER each optimizer step
+    (training_loop.py:206-209 run_step calls _anneal_lr after optimize,
+    :248-253), so update k applies lr·(1 − (k−1)/N) — one step behind a
+    plain linear schedule.  Matched exactly so training trajectories are
+    reproducible against the reference (tests/test_train_golden.py).
+    """
     if config.lr_anneal_steps:
-        schedule = optax.linear_schedule(
-            init_value=config.lr,
-            end_value=0.0,
-            transition_steps=config.lr_anneal_steps,
-        )
+        n = config.lr_anneal_steps
+        lr0 = config.lr
+
+        def schedule(count):
+            frac_done = jnp.clip((count - 1) / n, 0.0, 1.0)
+            return lr0 * (1.0 - frac_done)
+
     else:
         schedule = config.lr
     return optax.adamw(schedule, weight_decay=config.weight_decay)
