@@ -186,10 +186,15 @@ samples/sec, the production train-step ms/step, then the gesture
 headline LAST (so single-line parsers keep picking up the headline).
 GDT_BENCH_CONFIG=humanml|gesture|train selects one.
 
-MFU (round 4): every metric line carries tflops_per_sec +
-mfu_vs_v5e_bf16_peak from analytic matmul FLOPs (see gesture_eval_flops/
-t2m_eval_flops; conventions documented there).  Why the ~20% train MFU
-is a floor, not a fusion miss: PROFILE.md's trace bills ~26% of the
+MFU (round 4, measured on the chip): every metric line carries
+tflops_per_sec + mfu_vs_v5e_bf16_peak from analytic matmul FLOPs (see
+gesture_eval_flops/t2m_eval_flops; conventions documented there).
+Measured: gesture sampling 122.9 TFLOP/s = 62.4%, t2m sampling
+156.2 TFLOP/s = 79.3%, train step 16.27 ms at batch 256 mb64 =
+54.9 TFLOP/s = 27.9% (the 21.2 ms figure in the round-2 note below was
+measured pre-pad-once-stacking; the direct measurement here supersedes
+it).  Why the ~28% train MFU is a floor, not a fusion miss:
+PROFILE.md's trace bills ~26% of the
 step to backward-pass residual/layout copy ops, and all three measured
 attacks on them were dead ends (remat is undone by CSE or breaks
 fusions, dots-saveable recomputes while the copies stay, AUTO layouts
