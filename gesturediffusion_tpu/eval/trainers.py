@@ -254,6 +254,50 @@ def make_text_motion_match_trainer(
     return init, step, val_loss
 
 
+# ---------------------------------------------------------------------- #
+# Action-classifier trainer (a2m GRU / FID feature net)
+# ---------------------------------------------------------------------- #
+def make_action_classifier_trainer(classifier, lr: float = 1e-4,
+                                   clip: Optional[float] = None):
+    """Cross-entropy trainer for the a2m GRU classifier
+    (eval/networks.py MotionDiscriminator).  The reference ships its a2m
+    recognition models pretrained from the action2motion release with no
+    training entry point (prepare/download_recognition_models.sh); this
+    closes the regenerate-the-evaluator-assets gap the same way the T2M
+    trainers above do.
+
+    Returns (init_fn(rng, motions, lengths) -> state,
+    step_fn(state, motions, lengths, labels) -> (state, metrics));
+    motions are [B, J, 3, T] xyz like the evaluation batches."""
+    tx = _adam_with_clip(lr, clip)
+
+    def init(rng, motions, lengths) -> TrainerState:
+        params = classifier.init(rng, motions, lengths)["params"]
+        return _make_state(params, tx)
+
+    def loss_fn(params, motions, lengths, labels):
+        logits = classifier.apply({"params": params}, motions, lengths)
+        loss = jnp.mean(
+            optax.softmax_cross_entropy_with_integer_labels(logits, labels)
+        )
+        acc = jnp.mean((jnp.argmax(logits, -1) == labels).astype(jnp.float32))
+        return loss, {"loss": loss, "acc": acc}
+
+    @jax.jit
+    def step(state: TrainerState, motions, lengths, labels):
+        grads, metrics = jax.grad(loss_fn, has_aux=True)(
+            state.params, motions, lengths, labels
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        return state.replace(
+            step=state.step + 1,
+            params=optax.apply_updates(state.params, updates),
+            opt_state=opt_state,
+        ), metrics
+
+    return init, step
+
+
 def fit(step_fn, state, batches, log_every: int = 0,
         log: Callable = print):
     """Minimal host epoch loop: run step_fn over an iterable of
