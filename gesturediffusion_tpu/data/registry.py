@@ -82,6 +82,12 @@ def get_dataset_loader(
     process_index: int = 0,
     **kwargs,
 ) -> DataLoader:
+    if name == "synthetic" and "n_items" not in kwargs:
+        # the in-memory synthetic set must cover at least one full batch;
+        # scale it with the requested batch size (2x so shuffling between
+        # epochs actually reorders batches) instead of failing the
+        # len < batch_size guard below at production batch sizes
+        kwargs["n_items"] = max(64, 2 * batch_size)
     dataset = get_dataset(
         name, num_frames, split, datapath, n_seed_poses=n_seed_poses, **kwargs
     )

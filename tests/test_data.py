@@ -156,6 +156,16 @@ class TestLoader:
         motion, cond = next(iter(dl))
         assert motion.shape == (4, 8, 1, 16)
 
+    def test_registry_synthetic_scales_to_batch(self):
+        """Without an explicit n_items the synthetic set sizes itself to
+        the requested batch (the production soak runs the train CLI at
+        batch 256 against it)."""
+        dl = get_dataset_loader("synthetic", batch_size=96, num_frames=16,
+                                n_seed_poses=2, num_workers=1, pose_dim=8)
+        assert len(dl.dataset) == 192
+        motion, cond = next(iter(dl))
+        assert motion.shape == (96, 8, 1, 16)
+
     def test_registry_genea(self, genea_root):
         dl = get_dataset_loader(
             "genea2023", batch_size=2, num_frames=80, datapath=genea_root,

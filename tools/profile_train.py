@@ -38,16 +38,13 @@ from gesturediffusion_tpu.utils.fixseed import set_prng_impl
 from trace_agg import aggregate
 
 
-def main():
-    set_prng_impl("rbg")
-    enable_compilation_cache()
-
+def build_production_step(use_bf16: bool = True, mb: int = 128,
+                          remat: bool = False):
+    """The production gesture train step + its inputs (8 layers, latent
+    256, 498-dim pose, T=80, batch 256): (step_fn, state, motion, cond,
+    rng).  Shared by the trace capture below and
+    tools/probe_train_copies.py."""
     B, J, T, S = 256, 498, 80, 10
-    use_bf16 = os.environ.get("TP_BF16", "1") == "1"
-    mb = int(os.environ.get("TP_MB", "128"))
-    n_steps = int(os.environ.get("TP_STEPS", "100"))
-    tracedir = os.environ.get("TP_TRACEDIR", "/tmp/train_trace_out")
-
     rs = np.random.RandomState(0)
     motion = jnp.asarray(rs.randn(B, J, 1, T), jnp.float32)
     cond = {
@@ -58,8 +55,7 @@ def main():
     diffusion = create_diffusion(steps=1000,
                                  model_mean_type=ModelMeanType.START_X)
     model = MDM(njoints=J, latent_dim=256, num_layers=8, ff_size=1024,
-                seed_poses=S, cond_mask_prob=0.1,
-                remat=os.environ.get("TP_REMAT", "0") == "1",
+                seed_poses=S, cond_mask_prob=0.1, remat=remat,
                 dtype=jnp.bfloat16 if use_bf16 else jnp.float32)
     params = jax.jit(model.init)(
         jax.random.PRNGKey(0), motion, jnp.zeros((B,), jnp.int32),
@@ -77,7 +73,22 @@ def main():
         opt_state=tx.init(params), ema_params={}, sampler=sampler,
     )
     step_fn = make_train_step(diffusion, apply_fn, tx, config)
-    rng = jax.random.PRNGKey(1)
+    return step_fn, state, motion, cond, jax.random.PRNGKey(1)
+
+
+def main():
+    set_prng_impl("rbg")
+    enable_compilation_cache()
+
+    use_bf16 = os.environ.get("TP_BF16", "1") == "1"
+    mb = int(os.environ.get("TP_MB", "128"))
+    n_steps = int(os.environ.get("TP_STEPS", "100"))
+    tracedir = os.environ.get("TP_TRACEDIR", "/tmp/train_trace_out")
+
+    step_fn, state, motion, cond, rng = build_production_step(
+        use_bf16=use_bf16, mb=mb,
+        remat=os.environ.get("TP_REMAT", "0") == "1",
+    )
     state, metrics = step_fn(state, motion, cond, rng)  # compile + warm
     float(metrics["loss"])
 
