@@ -10,6 +10,7 @@ latent 256, 498 joints, T=80) and aggregates device-op costs.
 
 Env knobs: TP_MB (microbatch size, default 128; 0 = full batch),
 TP_BF16 (default 1), TP_REMAT (default 0; rematerialize encoder layers),
+TP_DROPOUT (default 0.1; 0 ablates the dropout-mask cost),
 TP_STEPS (traced steps, default 100),
 TP_TRACEDIR (default /tmp/train_trace_out — ~100 MB, not committed).
 """
@@ -39,7 +40,7 @@ from trace_agg import aggregate
 
 
 def build_production_step(use_bf16: bool = True, mb: int = 128,
-                          remat: bool = False):
+                          remat: bool = False, dropout: float = 0.1):
     """The production gesture train step + its inputs (8 layers, latent
     256, 498-dim pose, T=80, batch 256): (step_fn, state, motion, cond,
     rng).  Shared by the trace capture below and
@@ -56,6 +57,7 @@ def build_production_step(use_bf16: bool = True, mb: int = 128,
                                  model_mean_type=ModelMeanType.START_X)
     model = MDM(njoints=J, latent_dim=256, num_layers=8, ff_size=1024,
                 seed_poses=S, cond_mask_prob=0.1, remat=remat,
+                dropout=dropout,
                 dtype=jnp.bfloat16 if use_bf16 else jnp.float32)
     params = jax.jit(model.init)(
         jax.random.PRNGKey(0), motion, jnp.zeros((B,), jnp.int32),
@@ -88,6 +90,7 @@ def main():
     step_fn, state, motion, cond, rng = build_production_step(
         use_bf16=use_bf16, mb=mb,
         remat=os.environ.get("TP_REMAT", "0") == "1",
+        dropout=float(os.environ.get("TP_DROPOUT", "0.1")),
     )
     state, metrics = step_fn(state, motion, cond, rng)  # compile + warm
     float(metrics["loss"])
