@@ -514,20 +514,43 @@ class TrainLoop:
         )
 
     # ------------------------------------------------------------------ #
-    def run_loop(self) -> None:
-        cfg = self.config
-        batches = infinite_batches(self.data)
-        t_start = time.time()
-        for step in range(self.host_step, cfg.num_steps):
-            motion, cond = next(batches)
+    def _host_batches(self):
+        """The production host pipeline: loader -> collate -> text-embed.
+
+        Yields host-numpy `(motion, dcond)` pairs; upload happens once
+        per step in `shard_batch` on the consuming side.
+        """
+        for motion, cond in infinite_batches(self.data):
             dcond = device_cond(cond)
             if self.text_encoder is not None and "text" in cond:
                 dcond["text_emb"] = np.asarray(
                     self.text_encoder(cond["text"])
                 )
+            yield motion, dcond
+
+    def run_loop(self, batch_source=None) -> None:
+        """Run the training loop to `num_steps`.
+
+        `batch_source` (optional): an iterator yielding ready
+        `(motion, dcond)` pairs — already collated, text-embedded, and
+        (typically) device-resident.  Used by `--device_batch_pool` /
+        `tools/soak_train.py` to cycle a pre-staged on-device batch pool
+        when the host->device transport is bandwidth-limited (e.g. a
+        tunneled backend); `shard_batch` is a no-op for arrays already
+        placed with the mesh sharding, so the jitted step, logging,
+        checkpointing, and eval paths below are byte-identical to the
+        production host path.
+        """
+        cfg = self.config
+        if batch_source is None:
+            batch_source = self._host_batches()
+        t_start = time.time()
+        for step in range(self.host_step, cfg.num_steps):
+            motion, dcond = next(batch_source)
             # hand HOST numpy to shard_batch: it uploads exactly once
             # (device_put / make_array_from_process_local_data) — no
-            # device->host round-trips on the hot path
+            # device->host round-trips on the hot path.  Device-resident
+            # pool batches pass through unchanged (same sharding).
             motion = mesh_lib.shard_batch(self.mesh, motion)
             dcond = mesh_lib.shard_batch(self.mesh, dcond)
             self.state, metrics = self.train_step(

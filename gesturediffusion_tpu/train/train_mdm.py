@@ -263,9 +263,42 @@ def main(argv=None):
             loop.load_torch(resume, model)
         else:
             loop.load(resume)
+    batch_source = None
+    if getattr(args, "device_batch_pool", 0) > 0:
+        batch_source = build_device_batch_pool(
+            loop, n_batches=args.device_batch_pool
+        )
     log_lib.log("training...")
-    loop.run_loop()
+    loop.run_loop(batch_source=batch_source)
     train_platform.close()
+
+
+def build_device_batch_pool(loop, n_batches: int):
+    """Pre-stage `n_batches` collated batches on device; cycle forever.
+
+    One-time upload through `shard_batch` (so pool arrays carry the exact
+    mesh sharding the step expects); the returned iterator feeds
+    `TrainLoop.run_loop(batch_source=...)`.  See `--device_batch_pool`.
+    """
+    import itertools
+
+    log_lib.log(f"staging {n_batches}-batch device pool...")
+    src = loop._host_batches()
+    pool = []
+    for _ in range(n_batches):
+        motion, dcond = next(src)
+        pool.append((
+            mesh_lib.shard_batch(loop.mesh, motion),
+            mesh_lib.shard_batch(loop.mesh, dcond),
+        ))
+    jax.block_until_ready(pool)
+    nbytes = sum(
+        leaf.nbytes for leaf in jax.tree_util.tree_leaves(pool)
+    )
+    log_lib.log(
+        f"device pool staged: {n_batches} batches, {nbytes / 1e6:.1f} MB"
+    )
+    return itertools.cycle(pool)
 
 
 if __name__ == "__main__":

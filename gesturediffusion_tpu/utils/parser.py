@@ -193,6 +193,14 @@ def add_tpu_options(parser: ArgumentParser):
                        help="Gradient-accumulation microbatch size "
                             "(0 = whole batch; <=128/chip dodges the "
                             "large-batch encoder cliff).")
+    group.add_argument("--device_batch_pool", default=0, type=int,
+                       help="Pre-stage this many batches on device once "
+                            "and cycle them for the whole run (0 = off). "
+                            "Transport knob for hosts whose host->device "
+                            "link is bandwidth-limited (e.g. tunneled "
+                            "backends): the jitted step, logging, and "
+                            "checkpoint paths are unchanged; only the "
+                            "per-step upload is bypassed.")
     group.add_argument("--remat", action="store_true",
                        help="Rematerialize encoder layers in the backward "
                             "pass (jax.checkpoint). Memory knob for configs "

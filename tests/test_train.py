@@ -533,3 +533,43 @@ class TestReviewFixesRound3d:
         np.testing.assert_allclose(
             float(metrics["loss"]), float(metrics["rot_mse"]), rtol=1e-6
         )
+
+
+class TestDeviceBatchPool:
+    """--device_batch_pool: pre-staged device batches cycle through the
+    production run_loop (transport knob for bandwidth-limited hosts)."""
+
+    def test_pool_run_matches_host_path_shapes_and_trains(self, tmp_path):
+        from gesturediffusion_tpu.train.train_mdm import (
+            build_device_batch_pool,
+        )
+
+        loop = tiny_setup(tmp_path, num_steps=8)
+        src = build_device_batch_pool(loop, n_batches=3)
+        # pool entries are device arrays with the mesh batch sharding
+        motion, dcond = next(src)
+        assert isinstance(motion, jax.Array)
+        assert motion.shape == (8, J, 1, T)
+        # cycles: after the remaining 2 pool entries, the 1st batch
+        # comes around again (same device buffer, not a copy)
+        batches = [next(src) for _ in range(2)]
+        again, _ = next(src)
+        assert again is motion
+        loop.run_loop(batch_source=src)
+        assert int(loop.state.step) == 8
+
+    def test_cli_flag_wires_pool(self, tmp_path, capsys):
+        from gesturediffusion_tpu.train import train_mdm
+
+        train_mdm.main([
+            "--dataset", "synthetic",
+            "--save_dir", str(tmp_path / "pool_run"),
+            "--batch_size", "8",
+            "--num_frames", "20",
+            "--device_batch_pool", "2",
+            "--num_steps", "3",
+            "--log_interval", "2",
+            "--save_interval", "100",
+        ])
+        out = capsys.readouterr().out
+        assert "device pool staged: 2 batches" in out
