@@ -17,6 +17,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from gesturediffusion_tpu.ops.seed_dropout import SeedDropout
+
 
 def sinusoidal_table(max_len: int, d_model: int, dtype=jnp.float32) -> jax.Array:
     """Classic transformer sin/cos table [max_len, d_model]."""
@@ -44,7 +46,7 @@ class PositionalEncoding(nn.Module):
     def __call__(self, x: jax.Array, *, deterministic: bool = True) -> jax.Array:
         pe = sinusoidal_table(self.max_len, self.d_model, x.dtype)
         x = x + pe[None, : x.shape[1], :]
-        return nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        return SeedDropout(self.dropout)(x, deterministic=deterministic)
 
 
 class TimestepEmbedder(nn.Module):

@@ -19,6 +19,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from gesturediffusion_tpu.ops.seed_dropout import SeedDropout
+
 
 class MultiheadSelfAttention(nn.Module):
     """Packed-QKV multihead self-attention (torch MultiheadAttention layout).
@@ -78,7 +80,7 @@ class MultiheadSelfAttention(nn.Module):
             if mask is not None:
                 sim = jnp.where(mask, sim, -jnp.finfo(jnp.float32).max)
             attn = jax.nn.softmax(sim, axis=-1).astype(x.dtype)
-            attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
+            attn = SeedDropout(self.dropout)(attn, deterministic=deterministic)
             out = jnp.einsum("bhij,bhjd->bhid", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(b, t, d)
         return nn.Dense(d, dtype=self.dtype, name="out_proj")(out)
@@ -107,14 +109,14 @@ class TransformerEncoderLayer(nn.Module):
             use_fused_kernel=self.use_fused_kernel, dtype=self.dtype,
             name="self_attn",
         )(x, mask=mask, deterministic=deterministic)
-        x = x + nn.Dropout(self.dropout)(attn_out, deterministic=deterministic)
+        x = x + SeedDropout(self.dropout)(attn_out, deterministic=deterministic)
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
 
         h = nn.Dense(self.dim_feedforward, dtype=self.dtype, name="linear1")(x)
         h = act(h)
-        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = SeedDropout(self.dropout)(h, deterministic=deterministic)
         h = nn.Dense(self.d_model, dtype=self.dtype, name="linear2")(h)
-        x = x + nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        x = x + SeedDropout(self.dropout)(h, deterministic=deterministic)
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
         return x
 
