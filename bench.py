@@ -469,6 +469,9 @@ def bench_train():
 
     B, J, T, S = 256, 498, 80, 10
     mb = int(os.environ.get("GDT_BENCH_TRAIN_MB", "64"))
+    # GDT_BENCH_TRAIN_FUSED=1 -> custom-VJP fused encoder layers
+    # (ops/pallas_encoder_train.py); parity-gated like every kernel
+    fused_train = os.environ.get("GDT_BENCH_TRAIN_FUSED", "0") == "1"
     rs = np.random.RandomState(0)
     motion = jnp.asarray(rs.randn(B, J, 1, T), jnp.float32)
     cond = {
@@ -480,7 +483,8 @@ def bench_train():
         steps=1000, model_mean_type=ModelMeanType.START_X
     )
     model = MDM(njoints=J, latent_dim=256, num_layers=8, ff_size=1024,
-                seed_poses=S, cond_mask_prob=0.1, dtype=jnp.bfloat16)
+                seed_poses=S, cond_mask_prob=0.1,
+                use_fused_train_encoder=fused_train, dtype=jnp.bfloat16)
     params = jax.jit(model.init)(
         jax.random.PRNGKey(0), motion, jnp.zeros((B,), jnp.int32),
         {k: v for k, v in cond.items() if k != "mask"},
@@ -511,8 +515,9 @@ def bench_train():
 
     ms_per_step = elapsed / n_steps * 1e3
     flops = 3 * B * n_steps * gesture_eval_flops()
+    tag = "_fusedvjp" if fused_train else ""
     print(json.dumps({
-        "metric": f"gesture_train_step_batch{B}_mb{mb}_bf16",
+        "metric": f"gesture_train_step_batch{B}_mb{mb}_bf16{tag}",
         "value": round(ms_per_step, 2),
         "unit": "ms/step",
         "samples_per_sec": round(B * n_steps / elapsed, 1),

@@ -100,14 +100,25 @@ def calculate_frechet_distance(mu1, sigma1, mu2, sigma2, eps=1e-6) -> float:
     diff = mu1 - mu2
     tr_covmean = None
     try:
-        covmean = linalg.sqrtm(sigma1.dot(sigma2))
+        # scipy signals a singular/defective product with a LinAlgWarning
+        # (while still returning a possibly-inaccurate result) — promote
+        # it to an error so the singular path routes to the PSD
+        # eigendecomposition fallback below instead of warning through
+        # (tests/test_eval.py::test_frechet_singular_uses_psd_fallback)
+        import warnings
+
+        from scipy.linalg import LinAlgWarning
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("error", LinAlgWarning)
+            covmean = linalg.sqrtm(sigma1.dot(sigma2))
         if np.iscomplexobj(covmean):
             if not np.allclose(np.diagonal(covmean).imag, 0, atol=1e-3):
                 raise np.linalg.LinAlgError("large imaginary component")
             covmean = covmean.real
         if np.isfinite(covmean).all():
             tr_covmean = np.trace(covmean)
-    except (np.linalg.LinAlgError, ValueError):
+    except (np.linalg.LinAlgError, ValueError, LinAlgWarning):
         pass
     if tr_covmean is None:
         # rank-deficient product (scipy sqrtm fails): use the PSD
@@ -161,16 +172,19 @@ def calculate_kid(
     random subsets (reference: kid.py:8-45)."""
     rng = rng or np.random
     m = min(len(real_features), len(gen_features))
-    # subsets are drawn WITHOUT replacement (reference kid.py): duplicated
-    # rows would violate the unbiased MMD estimator's i != j assumption
     subset_size = min(subset_size, m)
+    # reference parity (kid.py:16 `replace = subset_size < len(codes_g)`):
+    # subsets are drawn WITH replacement whenever the subset is smaller
+    # than the feature set — byte-identical draw sequence under a shared
+    # np.random seed (tests/test_eval_golden.py)
+    replace = subset_size < len(gen_features)
     mmds = np.zeros(n_subsets)
     for i in range(n_subsets):
         g = gen_features[
-            rng.choice(len(gen_features), subset_size, replace=False)
+            rng.choice(len(gen_features), subset_size, replace=replace)
         ]
         r = real_features[
-            rng.choice(len(real_features), subset_size, replace=False)
+            rng.choice(len(real_features), subset_size, replace=replace)
         ]
         k_xx = _polynomial_kernel(g)
         k_yy = _polynomial_kernel(r)

@@ -152,6 +152,11 @@ class MDM(nn.Module):
     # inference-only: run each encoder layer as one fused Pallas kernel
     # (param tree unchanged; see models/transformer.py)
     use_fused_encoder: bool = False
+    # training-path: custom-VJP fused encoder layers (fused fwd + fused
+    # bwd Pallas kernels; only the layer input saved for backward — see
+    # models/transformer.py FusedTrainEncoderLayer).  Param tree
+    # unchanged, so the flag can differ between train and serve.
+    use_fused_train_encoder: bool = False
     # training-only: rematerialize encoder layers in the backward pass
     # (see models/transformer.py TransformerEncoder.remat)
     remat: bool = False
@@ -287,6 +292,7 @@ class MDM(nn.Module):
             dropout=self.dropout,
             activation=self.activation,
             use_fused_layer=self.use_fused_encoder and not train,
+            use_fused_train_layer=self.use_fused_train_encoder and train,
             remat=self.remat,
             dtype=self.dtype,
             name="seqTransEncoder",

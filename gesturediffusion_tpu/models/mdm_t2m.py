@@ -49,6 +49,8 @@ class MotionMDM(nn.Module):
     data_rep: str = "hml_vec"
     # inference-only: run each encoder layer as one fused Pallas kernel
     use_fused_encoder: bool = False
+    # training-path custom-VJP fused encoder (models/transformer.py)
+    use_fused_train_encoder: bool = False
     # training-only: rematerialize encoder layers in the backward pass
     # (memory knob — see models/transformer.py TransformerEncoder.remat)
     remat: bool = False
@@ -121,6 +123,7 @@ class MotionMDM(nn.Module):
             dropout=self.dropout,
             activation=self.activation,
             use_fused_layer=self.use_fused_encoder and not train,
+            use_fused_train_layer=self.use_fused_train_encoder and train,
             remat=self.remat,
             dtype=self.dtype,
             name="seqTransEncoder",

@@ -223,6 +223,73 @@ class FusedTransformerEncoderLayer(nn.Module):
         )
 
 
+class FusedTrainEncoderLayer(nn.Module):
+    """TRAINING-path encoder layer: one fused Pallas kernel forward, one
+    fused Pallas kernel backward via jax.custom_vjp — the only saved
+    residual is the layer input (ops/pallas_encoder_train.py).  Dropout
+    runs INSIDE the kernels from a hash-PRNG (masks never hit HBM), so
+    the per-layer saved-activation and dropout-mask copy families the
+    XLA grad program emits (PROFILE.md round-4/5 pinpoint) disappear.
+
+    Param tree is IDENTICAL to TransformerEncoderLayer — checkpoints are
+    interchangeable across the XLA / fused-inference / fused-train
+    paths.  gelu only, no mask (the production encoder call).
+    """
+
+    d_model: int
+    num_heads: int
+    dim_feedforward: int
+    dropout: float = 0.1
+    activation: str = "gelu"
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        *,
+        mask: Optional[jax.Array] = None,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        if mask is not None:
+            raise NotImplementedError(
+                "FusedTrainEncoderLayer supports the unmasked encoder "
+                "call only (use TransformerEncoderLayer)."
+            )
+        if self.activation != "gelu":
+            raise NotImplementedError("fused train layer supports gelu only")
+        from gesturediffusion_tpu.ops.pallas_encoder_train import (
+            make_fused_train_layer,
+        )
+
+        wqkv, bqkv, wo, bo = _AttnParams(self.d_model, name="self_attn")()
+        s1, bn1 = _LayerNormParams(self.d_model, name="norm1")()
+        w1, b1 = _DenseParams(
+            self.d_model, self.dim_feedforward, name="linear1"
+        )()
+        w2, b2 = _DenseParams(
+            self.dim_feedforward, self.d_model, name="linear2"
+        )()
+        s2, bn2 = _LayerNormParams(self.d_model, name="norm2")()
+        ws = [wqkv, bqkv, wo, bo, s1, bn1, w1, b1, w2, b2, s2, bn2]
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            ws = [w.astype(self.dtype) for w in ws]
+        rate = 0.0 if deterministic else float(self.dropout)
+        if rate > 0.0:
+            key = self.make_rng("dropout")
+            seed = jax.random.randint(
+                key, (), 0, jnp.iinfo(jnp.int32).max, jnp.int32
+            )
+        else:
+            seed = jnp.int32(0)
+        layer = make_fused_train_layer(
+            self.num_heads, rate,
+            interpret=jax.default_backend() != "tpu",
+        )
+        return layer(x, *ws, seed)
+
+
 class TransformerEncoder(nn.Module):
     num_layers: int
     d_model: int
@@ -234,6 +301,10 @@ class TransformerEncoder(nn.Module):
     # run each layer as one fused Pallas kernel (inference only; param
     # tree unchanged, so the flag can differ between train and serve)
     use_fused_layer: bool = False
+    # run each layer as one fused fwd + one fused bwd Pallas kernel with
+    # custom VJP (training path; only the layer input is saved for
+    # backward — see FusedTrainEncoderLayer).  Param tree unchanged.
+    use_fused_train_layer: bool = False
     # rematerialize each layer in the backward pass (jax.checkpoint).
     # Training-only effect (no-op when deterministic); gradients are
     # exactly equal to the stored-activation path (lifted RNGs replay
@@ -256,16 +327,15 @@ class TransformerEncoder(nn.Module):
         mask: Optional[jax.Array] = None,
         deterministic: bool = True,
     ) -> jax.Array:
-        layer_cls = (
-            FusedTransformerEncoderLayer
-            if self.use_fused_layer
-            else TransformerEncoderLayer
-        )
-        kw = (
-            {}
-            if self.use_fused_layer
-            else {"use_fused_kernel": self.use_fused_kernel}
-        )
+        if self.use_fused_train_layer and mask is None:
+            layer_cls = FusedTrainEncoderLayer
+            kw = {}
+        elif self.use_fused_layer:
+            layer_cls = FusedTransformerEncoderLayer
+            kw = {}
+        else:
+            layer_cls = TransformerEncoderLayer
+            kw = {"use_fused_kernel": self.use_fused_kernel}
         # Fused stacking: pad to the tile/block layout ONCE around the
         # whole layer loop instead of per layer (the per-layer pad+slice
         # round-trips measured ~2% of gesture sampling step time).  The
@@ -280,7 +350,8 @@ class TransformerEncoder(nn.Module):
         # above the raw tensor size).  Gate the path on the padded
         # activation size; larger shapes keep the per-layer pad/slice,
         # which forces the activation through HBM exactly as before.
-        pad_once = self.use_fused_layer and mask is None and deterministic
+        pad_once = (layer_cls is FusedTransformerEncoderLayer
+                    and mask is None and deterministic)
         b = t = 0
         if pad_once:
             from gesturediffusion_tpu.ops.pallas_encoder import (
@@ -298,7 +369,8 @@ class TransformerEncoder(nn.Module):
             else:
                 pad_once = False
         use_remat = (
-            self.remat and not deterministic and not self.use_fused_layer
+            self.remat and not deterministic
+            and layer_cls is TransformerEncoderLayer
         )
         if use_remat:
             # function-form lifted remat: `deterministic` stays a Python

@@ -85,6 +85,20 @@ class SeedDropout(nn.Module):
     deterministic / rate==0 / rate==1.  The only behavioral difference
     from ``nn.Dropout`` is invisible to the forward math: the backward
     pass re-draws the mask instead of saving it.
+
+    **OFF BY DEFAULT — measured regression** (round-5 on-chip A/B,
+    PROFILE.md): the production train step runs 14.60 ms/step with plain
+    ``nn.Dropout`` vs 17.85 ms/step with seed_dropout (+22%).  The
+    hypothesis behind the op was wrong at these shapes: the u32 mask
+    copies in the HLO are layout copies attached to EACH
+    rng-bit-generator call, not saved-for-backward traffic that a
+    re-draw can delete — so re-drawing in backward DOUBLES both the rng
+    cost (0.52 → 1.70 ms/step) and the u32 copy family (9×/134 MB →
+    17×/241 MB).  The custom-VJP fused training layer
+    (ops/pallas_encoder_train.py) is the structural fix: masks are
+    hash-PRNG bits generated inside the kernel, never materialized in
+    HBM at all.  ``GDT_SEED_DROPOUT=1`` opts back in for re-measurement;
+    read at trace time (set before the first jit of the train step).
     """
 
     rate: float
@@ -96,6 +110,15 @@ class SeedDropout(nn.Module):
             return x
         if self.rate == 1.0:
             return jnp.zeros_like(x)
+        import os
+
         key = self.make_rng(self.rng_collection)
+        if os.environ.get("GDT_SEED_DROPOUT", "0") != "1":
+            # exact nn.Dropout math inline (same rng fold as the single
+            # make_rng call above, so masks are bit-identical to the
+            # opt-in path's forward); plain AD saves the mask
+            keep_prob = 1.0 - self.rate
+            mask = jax.random.bernoulli(key, p=keep_prob, shape=x.shape)
+            return lax.select(mask, x / keep_prob, jnp.zeros_like(x))
         return seed_dropout(x, key, self.rate)
 

@@ -83,6 +83,8 @@ def create_model(args, data=None):
             mfcc_input=mfcc_input,
             use_wav_enc=use_wav_enc,
             use_fused_encoder=getattr(args, "use_fused_encoder", False),
+            use_fused_train_encoder=getattr(
+                args, "use_fused_train_encoder", False),
             remat=getattr(args, "remat", False),
             **kw,
         )
@@ -91,6 +93,8 @@ def create_model(args, data=None):
         return MotionMDM(
             cond_mode=cond_mode,
             use_fused_encoder=getattr(args, "use_fused_encoder", False),
+            use_fused_train_encoder=getattr(
+                args, "use_fused_train_encoder", False),
             remat=getattr(args, "remat", False),
             **kw,
         )
@@ -100,6 +104,8 @@ def create_model(args, data=None):
     return MotionMDM(
         cond_mode=cond_mode, num_actions=num_actions,
         use_fused_encoder=getattr(args, "use_fused_encoder", False),
+        use_fused_train_encoder=getattr(
+            args, "use_fused_train_encoder", False),
         remat=getattr(args, "remat", False),
         **kw,
     )

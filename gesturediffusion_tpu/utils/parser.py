@@ -189,6 +189,11 @@ def add_tpu_options(parser: ArgumentParser):
     group.add_argument("--use_fused_encoder", action="store_true",
                        help="Run encoder layers as fused Pallas kernels "
                             "(inference only; same param tree).")
+    group.add_argument("--use_fused_train_encoder", action="store_true",
+                       help="Custom-VJP fused encoder layers for the "
+                            "training path (fused fwd+bwd Pallas "
+                            "kernels, only the layer input saved for "
+                            "backward; same param tree).")
     group.add_argument("--microbatch_size", default=0, type=int,
                        help="Gradient-accumulation microbatch size "
                             "(0 = whole batch; <=128/chip dodges the "

@@ -280,3 +280,68 @@ class TestRealMultiProcess:
         np.testing.assert_allclose(l0, ref, rtol=1e-5)
         # dp-sharded SAMPLING checksum matches too
         np.testing.assert_allclose(s0, [run_sample(loop)], rtol=1e-5)
+
+
+class TestFusedKernelsShardedMesh:
+    """The fused Pallas kernels compose with the (data, model) mesh via
+    shard_map: batch shards over 'data' (weights replicated), and the
+    flash kernel's head axis shards over 'model'.  Mirrors the
+    `fused_sharded` section of __graft_entry__.dryrun_multichip."""
+
+    def _mesh(self):
+        return mesh_lib.make_mesh(jax.devices()[:8], model=2)
+
+    def test_fused_encoder_layer_dp(self):
+        import functools
+
+        from jax.sharding import PartitionSpec as P
+        from jax import shard_map
+
+        from gesturediffusion_tpu.ops.pallas_encoder import (
+            fused_encoder_layer,
+        )
+
+        rs = np.random.RandomState(0)
+        mesh = self._mesh()
+        d, f, nh = 16, 32, 4
+        x = jnp.asarray(rs.randn(16, 8, d), jnp.float32)
+        ws = [
+            jnp.asarray(rs.randn(*shp) * 0.2, jnp.float32)
+            for shp in ((d, 3 * d), (3 * d,), (d, d), (d,), (d,), (d,),
+                        (d, f), (f,), (f, d), (d,), (d,), (d,))
+        ]
+        fn = functools.partial(
+            fused_encoder_layer, num_heads=nh, interpret=True
+        )
+        want = np.asarray(fn(x, *ws))
+        sharded = shard_map(
+            fn, mesh=mesh, in_specs=(P("data"),) + (P(),) * len(ws),
+            out_specs=P("data"), check_vma=False,
+        )
+        got = np.asarray(jax.jit(sharded)(x, *ws))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    def test_flash_attention_dp_tp(self):
+        import functools
+
+        from jax.sharding import PartitionSpec as P
+        from jax import shard_map
+
+        from gesturediffusion_tpu.ops.pallas_flash import (
+            fused_self_attention,
+        )
+
+        rs = np.random.RandomState(1)
+        mesh = self._mesh()
+        q, k, v = (
+            jnp.asarray(rs.randn(8, 4, 16, 8), jnp.float32)
+            for _ in range(3)
+        )
+        fn = functools.partial(fused_self_attention, interpret=True)
+        want = np.asarray(fn(q, k, v))
+        sharded = shard_map(
+            fn, mesh=mesh, in_specs=(P("data", "model"),) * 3,
+            out_specs=P("data", "model"), check_vma=False,
+        )
+        got = np.asarray(jax.jit(sharded)(q, k, v))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)

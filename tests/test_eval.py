@@ -94,6 +94,24 @@ class TestMetrics:
         np.testing.assert_allclose(mean, [2.0, 3.0])
         assert np.all(ci > 0)
 
+    def test_frechet_singular_uses_psd_fallback(self):
+        """Rank-deficient covariances must route to the PSD eigh fallback
+        WITHOUT scipy's LinAlgWarning leaking (the warning is promoted to
+        an error inside calculate_frechet_distance and caught there)."""
+        import warnings
+
+        from scipy.linalg import LinAlgWarning
+
+        # n < d makes np.cov rank-deficient -> sigma1 @ sigma2 singular
+        x = RS.randn(6, 16)
+        y = RS.randn(6, 16) + 0.5
+        mu1, c1 = M.calculate_activation_statistics(x)
+        mu2, c2 = M.calculate_activation_statistics(y)
+        with warnings.catch_warnings():
+            warnings.simplefilter("error", LinAlgWarning)
+            fid = M.calculate_frechet_distance(mu1, c1, mu2, c2)
+        assert np.isfinite(fid) and fid >= 0
+
 
 @pytest.mark.skipif(
     not os.path.exists("/root/reference/data_loaders/humanml/networks/modules.py"),

@@ -558,6 +558,68 @@ class TestDeviceBatchPool:
         loop.run_loop(batch_source=src)
         assert int(loop.state.step) == 8
 
+    def test_pool_run_is_byte_identical_to_host_path(self, tmp_path):
+        """run_loop(batch_source=pool) must produce the IDENTICAL
+        parameter trajectory as the host path when the batch sequences
+        coincide (unshuffled loader, pool size = batches/epoch): the
+        jitted step, rng folding, and logging bookkeeping are shared, so
+        the only difference is where the batch bytes come from."""
+        from gesturediffusion_tpu.train.train_mdm import (
+            build_device_batch_pool,
+        )
+
+        def make_loop(subdir):
+            model = MDM(njoints=J, latent_dim=32, num_layers=1, ff_size=64,
+                        seed_poses=S, cl_head=4, window_size=10,
+                        cond_mask_prob=0.1)
+            diffusion = create_diffusion(
+                steps=20, model_mean_type=ModelMeanType.START_X
+            )
+            ds = SyntheticGesture(n_items=32, window=T, pose_dim=J,
+                                  n_seed_poses=S)
+            data = DataLoader(ds, batch_size=8, collate_fn=collate_gesture,
+                              num_workers=1, shuffle=False)
+            x0 = jnp.zeros((8, J, 1, T))
+            t0 = jnp.zeros((8,), jnp.int32)
+            from gesturediffusion_tpu.data.collate import device_cond
+
+            _, cond = next(iter(data))
+            cond = {k: jnp.asarray(v)
+                    for k, v in device_cond(cond).items()}
+            params = model.init(jax.random.PRNGKey(0), x0, t0, cond)
+
+            def apply_fn(p, x, t, c, rngs=None):
+                return model.apply(p, x, t, c, train=True, rngs=rngs)
+
+            cfg = TrainConfig(
+                save_dir=str(tmp_path / subdir), lr=1e-3, num_steps=9,
+                log_interval=100, save_interval=100, batch_size=8,
+            )
+            return TrainLoop(cfg, diffusion, apply_fn, params, data,
+                             args_to_save={"dataset": "synthetic"})
+
+        host_loop = make_loop("host")
+        host_loop.run_loop()
+
+        pool_loop = make_loop("pool")
+        # 32 items / batch 8 = 4 batches/epoch; unshuffled epochs repeat,
+        # so a 4-batch pool cycles through the same sequence
+        src = build_device_batch_pool(pool_loop, n_batches=4)
+        pool_loop.run_loop(batch_source=src)
+
+        host_leaves = jax.tree_util.tree_leaves_with_path(
+            host_loop.state.params
+        )
+        pool_params = dict(
+            jax.tree_util.tree_leaves_with_path(pool_loop.state.params)
+        )
+        assert host_leaves
+        for path, leaf in host_leaves:
+            np.testing.assert_array_equal(
+                np.asarray(leaf), np.asarray(pool_params[path]),
+                err_msg=f"param {path} diverged between host and pool path",
+            )
+
     def test_cli_flag_wires_pool(self, tmp_path, capsys):
         from gesturediffusion_tpu.train import train_mdm
 

@@ -40,11 +40,15 @@ from trace_agg import aggregate
 
 
 def build_production_step(use_bf16: bool = True, mb: int = 128,
-                          remat: bool = False, dropout: float = 0.1):
+                          remat: bool = False, dropout: float = 0.1,
+                          fused_train: bool = None):
     """The production gesture train step + its inputs (8 layers, latent
     256, 498-dim pose, T=80, batch 256): (step_fn, state, motion, cond,
     rng).  Shared by the trace capture below and
-    tools/probe_train_copies.py."""
+    tools/probe_train_copies.py.  ``fused_train`` (or TP_FUSED=1) runs
+    the encoder through the custom-VJP fused Pallas layers."""
+    if fused_train is None:
+        fused_train = os.environ.get("TP_FUSED", "0") == "1"
     B, J, T, S = 256, 498, 80, 10
     rs = np.random.RandomState(0)
     motion = jnp.asarray(rs.randn(B, J, 1, T), jnp.float32)
@@ -57,7 +61,7 @@ def build_production_step(use_bf16: bool = True, mb: int = 128,
                                  model_mean_type=ModelMeanType.START_X)
     model = MDM(njoints=J, latent_dim=256, num_layers=8, ff_size=1024,
                 seed_poses=S, cond_mask_prob=0.1, remat=remat,
-                dropout=dropout,
+                dropout=dropout, use_fused_train_encoder=fused_train,
                 dtype=jnp.bfloat16 if use_bf16 else jnp.float32)
     params = jax.jit(model.init)(
         jax.random.PRNGKey(0), motion, jnp.zeros((B,), jnp.int32),

@@ -200,6 +200,46 @@ def run_parity_checks() -> bool:
     ok &= check("flash_attention long-T (compiled) vs XLA [1,2,2048,128]",
                 gotL, wantL, atol=2e-2)
 
+    # 6) custom-VJP fused TRAINING layer at the gesture microbatch shape:
+    #    forward value AND input/weight gradients vs autodiff of the
+    #    mask-identical XLA twin (ops/pallas_encoder_train.py).  f32 so
+    #    the comparison isolates Mosaic lowering, not bf16 rounding.
+    from gesturediffusion_tpu.ops.pallas_encoder_train import (
+        encoder_layer_train_reference,
+        make_fused_train_layer,
+    )
+
+    B, T, D, H, F = 32, 81, 256, 4, 1024
+    x = jnp.asarray(rs.randn(B, T, D) * 0.5, jnp.float32)
+    tws = [
+        jnp.asarray(rs.randn(*shp) * 0.1, jnp.float32)
+        for shp in ((D, 3 * D), (3 * D,), (D, D), (D,), (D,), (D,),
+                    (D, F), (F,), (F, D), (D,), (D,), (D,))
+    ]
+    train_layer = make_fused_train_layer(H, 0.1)
+    seed = jnp.int32(13)
+
+    @jax.jit
+    def fused_val_grads(x, *ws):
+        def f(x, *ws):
+            return jnp.sum(train_layer(x, *ws, seed) ** 2)
+        return jax.value_and_grad(f, argnums=(0, 1, 7))(x, *ws)
+
+    @jax.jit
+    def twin_val_grads(x, *ws):
+        def f(x, *ws):
+            return jnp.sum(encoder_layer_train_reference(
+                x, ws, seed, num_heads=H, rate=0.1) ** 2)
+        return jax.value_and_grad(f, argnums=(0, 1, 7))(x, *ws)
+
+    (v_f, g_f) = fused_val_grads(x, *tws)
+    (v_t, g_t) = twin_val_grads(x, *tws)
+    ok &= check("fused_train_layer value (compiled) vs XLA twin",
+                v_f, v_t, atol=max(1e-4 * abs(float(v_t)), 1e-2))
+    for name, a, b in zip(("dx", "dwqkv", "dw1"), g_f, g_t):
+        ok &= check(f"fused_train_layer grad {name} (compiled) vs twin",
+                    a, b, atol=5e-2)
+
     print("kernel parity: ALL OK" if ok else "kernel parity: FAILURES")
     return ok
 
