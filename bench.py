@@ -43,6 +43,11 @@ killing the per-step pad+slice round-trips the profiler trace billed at
 ~0.017 ms/step — see PROFILE.md):
   take-sets 1: 48.52 chunks/s/chip = 4.866x
   take-sets 4: 52.86 chunks/s/chip = 5.301x  (headline)
+After the pad-minimizing block choice (round 5, pick_block_b: the
+strict layout's CFG batch 82 now runs at block 21 = 84 grid rows
+instead of block 22 = 88 — 4.5% less kernel compute; PROFILE.md):
+  take-sets 1: 50.17 chunks/s/chip = 5.031x  (strict reference layout
+  over the 5x bar with no layout-fairness argument needed)
 6 and 8 take-sets are past the chip's envelope (both measured; do not
 re-try): the pad-once stack's VMEM activation forwarding cannot fit
 (6-set [492,88,256]bf16 ~= 22 MB, 8-set ~= 30 MB vs the 16 MB scoped
@@ -190,21 +195,28 @@ MFU (round 4, measured on the chip): every metric line carries
 tflops_per_sec + mfu_vs_v5e_bf16_peak from analytic matmul FLOPs (see
 gesture_eval_flops/t2m_eval_flops; conventions documented there).
 Measured: gesture sampling 122.9 TFLOP/s = 62.4%, t2m sampling
-156.2 TFLOP/s = 79.3%, train step 16.27 ms at batch 256 mb64 =
-54.9 TFLOP/s = 27.9% (the 21.2 ms figure in the round-2 note below was
-measured pre-pad-once-stacking; the direct measurement here supersedes
-it).  Why the ~28% train MFU is a floor, not a fusion miss:
-PROFILE.md's trace bills ~26% of the
-step to backward-pass residual/layout copy ops, and all three measured
+156.2 TFLOP/s = 79.3%, train step 17.0 ms at batch 256 mb64 =
+52.4 TFLOP/s = 26.6%.  Round-5 measurement note: the train line is now
+timed INSIDE one device program (lax.scan of the step; 200 and 400
+iteration runs agree at 17.11/16.99 ms, fixed readback overhead
+~50 ms), which resolves the earlier run-to-run spread — the previous
+host-loop numbers (16.27 in this note, BENCH_r04's 17.0, one 19.1
+sample) were async-dispatch pace through the tunnel, not device time.
+The profiler's 14.6 ms "device op total" (PROFILE.md) is the sum of op
+durations; the ~2.4 ms gap to the scanned wall is inter-op scheduling
+bubbles the op sum cannot see.  Why the ~27% train MFU is a floor, not
+a fusion miss: PROFILE.md's trace bills ~26% of the
+step to backward-pass residual/layout copy ops, and all measured
 attacks on them were dead ends (remat is undone by CSE or breaks
 fusions, dots-saveable recomputes while the copies stay, AUTO layouts
-are a wash — see the notes above).  The remaining levers are
-structural: a custom-VJP fused encoder (fwd kernels exist, backward
-does not) would remove the saved-activation round-trips the copies
-forward, and f32 master-weight traffic (~39 MB/step) is a precision
-choice, not a scheduling one.  Sampling MFU (~60%) is the honest
-ceiling comparison: it shows the forward path is MXU-bound while
-training is copy/bandwidth-bound.
+are a wash, seed_dropout re-draw is a +22% regression, and the
+custom-VJP fused-encoder backward — built, parity-tested, measured in
+round 5 — deletes the copy family but loses more on MXU fill at block
+2 under the 16 MB scoped-VMEM cap: see PROFILE.md round-5 section).
+f32 master-weight traffic (~39 MB/step) is a precision choice, not a
+scheduling one.  Sampling MFU (~60%) is the honest ceiling comparison:
+it shows the forward path is MXU-bound while training is
+copy/bandwidth-bound.
 """
 
 import json
@@ -501,15 +513,28 @@ def bench_train():
         sampler=create_named_schedule_sampler("uniform", 1000),
     )
     step_fn = make_train_step(diffusion, apply_fn, tx, config)
-    rng = jax.random.PRNGKey(1)
-    state, metrics = step_fn(state, motion, cond, rng)  # compile + warm
-    float(metrics["loss"])
 
-    n_steps = int(os.environ.get("GDT_BENCH_TRAIN_ITERS", "100"))
+    # Time INSIDE one device program: a host loop of async step_fn
+    # dispatches measures the tunnel's per-dispatch pace (~19 ms/step
+    # here, varying 16-19 ms run to run), not the device — the scanned
+    # program reconciles with the profiler's device-op total
+    # (PROFILE.md: 14.6 ms/step) and is stable across runs.
+    n_steps = int(os.environ.get("GDT_BENCH_TRAIN_ITERS", "200"))
+
+    def body(st, r):
+        st, m = step_fn(st, motion, cond, r)
+        return st, m["loss"]
+
+    scan_fn = jax.jit(
+        lambda st, rs: jax.lax.scan(body, st, rs)
+    )
+    rngs = jax.random.split(jax.random.PRNGKey(1), n_steps)
+    _, losses = scan_fn(state, rngs)  # compile + warm
+    float(losses[-1])
+
     t0 = time.perf_counter()
-    for _ in range(n_steps):
-        state, metrics = step_fn(state, motion, cond, rng)
-    loss = float(metrics["loss"])  # forced readback before the clock
+    _, losses = scan_fn(state, rngs)
+    loss = float(losses[-1])  # forced readback before the clock
     elapsed = time.perf_counter() - t0
     assert np.isfinite(loss)
 

@@ -169,11 +169,21 @@ def _forward_core(
     a = jnp.dot(o, wo, preferred_element_type=jnp.float32) \
         + bo.astype(jnp.float32)                     # [BB*T, D] f32
 
-    # site POST_ATTN over conceptual [B, T, D]
-    rowidx = (brow * t_real + trow).reshape(bb * t)  # [BB*T] global row
+    # site POST_ATTN over conceptual [B, T, D].  Row-site indices are
+    # built in 3-D [BB, T, width] and only the LEADING dims collapsed:
+    # Mosaic rejects the (bb, t) -> (bb*t, 1) shape cast a 1-D rowidx
+    # would need (lane dim 88 -> 1), but leading-dim merges with the
+    # lane dim unchanged lower fine.
+    row3 = brow * np.int32(t_real) + trow            # [BB, T] global row
+
+    def _row_keep(width, site):
+        idx = (row3[:, :, None] * np.int32(width)
+               + _iota2((bb, t, width), 2))
+        return _keep_from_idx(idx, seed, site, keep).reshape(
+            bb * t, width)
+
     if rate > 0.0:
-        idx2 = rowidx[:, None] * d + _iota2((bb * t, d), 1)
-        keep2 = _keep_from_idx(idx2, seed, SITE_POST_ATTN, keep)
+        keep2 = _row_keep(d, SITE_POST_ATTN)
         a_drop = jnp.where(keep2, a * (1.0 / keep), 0.0)
     else:
         keep2 = None
@@ -191,8 +201,7 @@ def _forward_core(
         + b1.astype(jnp.float32)                     # [BB*T, F] f32
     hg = jax.nn.gelu(h1)                             # f32 (tanh approx)
     if rate > 0.0:
-        idx3 = rowidx[:, None] * f + _iota2((bb * t, f), 1)
-        keep3 = _keep_from_idx(idx3, seed, SITE_ACT, keep)
+        keep3 = _row_keep(f, SITE_ACT)
         hd = jnp.where(keep3, hg * (1.0 / keep), 0.0)
     else:
         keep3 = None
@@ -201,8 +210,7 @@ def _forward_core(
     ff = jnp.dot(hdc, w2, preferred_element_type=jnp.float32) \
         + b2.astype(jnp.float32)                     # [BB*T, D] f32
     if rate > 0.0:
-        idx4 = rowidx[:, None] * d + _iota2((bb * t, d), 1)
-        keep4 = _keep_from_idx(idx4, seed, SITE_FF, keep)
+        keep4 = _row_keep(d, SITE_FF)
         ff_drop = jnp.where(keep4, ff * (1.0 / keep), 0.0)
     else:
         keep4 = None
@@ -292,13 +300,15 @@ def _bwd_kernel(
         rate=rate, b_offset=b_offset,
     )
 
-    g = g_ref[:].reshape(bb * t, d).astype(jnp.float32)
+    g3 = g_ref[:].astype(jnp.float32)
 
     # mask padded time rows of the cotangent: their forward rows are
-    # garbage and must contribute nothing to any gradient
+    # garbage and must contribute nothing to any gradient (masked in
+    # 3-D — Mosaic rejects (bb, t) -> (bb*t, 1) shape casts)
     if t_real < t:
-        trow = _iota2((bb, t), 1).reshape(bb * t, 1)
-        g = jnp.where(trow < t_real, g, 0.0)
+        trow3 = _iota2((bb, t, 1), 1)
+        g3 = jnp.where(trow3 < t_real, g3, 0.0)
+    g = g3.reshape(bb * t, d)
 
     ln2s_f = weights[10].astype(jnp.float32)
     # ---- LN2 backward ----
@@ -519,9 +529,15 @@ def make_fused_train_layer(
         if block_b is not None:
             return min(block_b, b)
         if bwd:
-            # the backward kernel holds ~2x the forward's live f32
-            # intermediates (recompute + grads): halve the block budget
-            return _train_block_b(b, tp, f, budget=_TRAIN_FF_BYTES // 2,
+            # the backward kernel's live set (recompute + per-head probs
+            # + the f32 FF-grad chain + weight-grad scratch) measures
+            # ~20 MB at block 4 on v5e — over the 16 MB scoped-VMEM cap
+            # XLA enforces for kernel stacks (and LIBTPU_INIT_ARGS is
+            # terminal-controlled here, so the cap can't be raised).
+            # Quarter the budget so the default block is 2 at the
+            # production [*, 88, 256]x1024 shapes; GDT_ENC_TRAIN_BLOCK_BWD
+            # overrides for other shapes/parts.
+            return _train_block_b(b, tp, f, budget=_TRAIN_FF_BYTES // 4,
                                   env_name="GDT_ENC_TRAIN_BLOCK_BWD")
         return _train_block_b(b, tp, f)
 

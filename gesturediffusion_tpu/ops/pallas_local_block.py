@@ -148,6 +148,8 @@ def fused_local_block(
 
     xseq: [B, T, D], coa: [B, D] -> [B, T+1, D].  T must be a multiple
     of the sublane tile (8); the production gesture shape is T=80.
+    ``block_b`` is a MAXIMUM (VMEM budget): the actual block is the
+    pad-minimizing choice in [block_b//2, block_b].
     """
     b, t, d = xseq.shape
     assert d % num_heads == 0
@@ -161,7 +163,12 @@ def fused_local_block(
     cos2 = np.pad(cos2, ((0, pad2), (0, 0)))
     sin2 = np.pad(sin2, ((0, pad2), (0, 0)))
 
-    block_b = min(block_b, b)
+    # pad-minimizing block choice (see ops/pallas_encoder.pick_block_b):
+    # at the gesture CFG batch 82 the raw default 22 would pad to 88 rows
+    # where 21 pads to 84
+    from gesturediffusion_tpu.ops.pallas_encoder import pick_block_b
+
+    block_b = pick_block_b(b, block_b)
     b_pad = -b % block_b
     xp = jnp.pad(xseq, ((0, b_pad), (0, 0), (0, 0)))
     # coa rides as [B, 1, D] so its block shape satisfies the Mosaic

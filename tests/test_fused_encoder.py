@@ -108,14 +108,24 @@ class TestFusedEncoderLayerKernel:
         )
 
     def test_auto_block_b_known_shapes(self):
-        """The VMEM-fit rule must reproduce the measured-good blocks:
-        gesture [82,82,256]/ff1024 -> 22, t2m [64,198,512]/ff1024 -> 8."""
-        from gesturediffusion_tpu.ops.pallas_encoder import _auto_block_b
+        """The VMEM-fit + pad-minimizing rule must reproduce the
+        measured-good blocks: gesture [82,82,256]/ff1024 -> 21 (pads 82
+        -> 84, not the 88 the max-fitting block 22 would), t2m
+        [64,200,512]/ff1024 -> 8 (exact division)."""
+        from gesturediffusion_tpu.ops.pallas_encoder import (
+            _auto_block_b, pick_block_b,
+        )
 
-        assert _auto_block_b(82, 88, 1024) == 22
+        assert _auto_block_b(82, 88, 1024) == 21
         assert _auto_block_b(64, 200, 1024) == 8
         # tiny batches never pad up past one grid step
         assert _auto_block_b(3, 88, 1024) == 3
+        # pad-minimizing selection: exact divisor wins over max block
+        assert pick_block_b(82, 22) == 21       # 84 padded rows, not 88
+        assert pick_block_b(328, 23) == 22      # serving layout: 330
+        assert pick_block_b(7, 4) == 4          # 8 rows either way
+        assert pick_block_b(5, 22) == 5         # b <= max: one grid step
+        assert pick_block_b(9, 0) == 1          # degenerate budget
 
     def test_auto_block_matches_explicit(self):
         """block_b=None (auto) must be numerically identical to explicit."""
